@@ -1,0 +1,148 @@
+"""Hypercube LSH variant with Hamming-distance probing.
+
+Reference semantics (/root/reference/lib/lsh_cube.hpp:108-177):
+* k bit-valued functions map each vector to a vertex of a k-cube
+  (2^k buckets).  Cosine metric: the bits are hyperplane signs
+  (CosineHGen).  Euclidean metric: each bit is f(h(x)) where h is a p-stable
+  hash and f memoizes a random bit per h-value (EuclideanFGen);
+* a query starts at its own vertex and expands to vertices at increasing
+  Hamming distance until `probes` buckets are consumed
+  (get_hypercube_combined_buckets, lsh_cube.hpp:139-177).
+
+Deviations (deliberate fixes, SURVEY.md §5 quirk list):
+* EuclideanFGen draws its modulus from {1, 2} so about half its bit
+  functions are constant 0 (euclidean_f_gen.hpp:65-79); we use an unbiased
+  stateless integer mix of the h-value instead of a memo table — same role,
+  better bits, no host-side state;
+* the reference's probe loop skips Hamming distance 1 entirely when
+  probes == 1 (lsh_cube.hpp:147-171); our `probes` means "total vertices
+  visited, home vertex included", via a precomputed XOR-mask schedule
+  (ops/hamming.py) — query-time probing is one vectorized XOR + gather.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from crypto_rec_tpu.models.lsh.hyperplane import CosineLsh
+from crypto_rec_tpu.models.lsh.pstable import PStableLsh
+from crypto_rec_tpu.models.lsh.index import _csr_from_buckets, _dedup_fixed
+from crypto_rec_tpu.ops.hamming import hamming_probe_order
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("family", "mix_mul", "mix_add", "vertices", "sorted_rows", "bucket_starts"),
+    meta_fields=("metric", "k", "n_rows"),
+)
+@dataclasses.dataclass
+class Hypercube:
+    """One 2^k-bucket table keyed by cube vertex."""
+
+    metric: str
+    k: int
+    n_rows: int
+    family: object          # CosineLsh (L=1) | PStableLsh (L=1, k h-functions)
+    mix_mul: Optional[jax.Array]  # [k] int32 odd multipliers (euclidean f-bits)
+    mix_add: Optional[jax.Array]  # [k] int32
+    vertices: jax.Array     # [n] int32 vertex per indexed row
+    sorted_rows: jax.Array  # [1, n]
+    bucket_starts: jax.Array  # [1, 2^k + 1]
+
+
+def _f_bits(h: jax.Array, mul: jax.Array, add: jax.Array) -> jax.Array:
+    """Stateless pseudorandom bit per (function, h-value): parity of a mixed
+    product — replaces EuclideanFGen's memoized random bit."""
+    mixed = h * mul[None, :] + add[None, :]
+    mixed = mixed ^ (mixed >> 16) * jnp.int32(0x45D9F3B)
+    return (mixed ^ (mixed >> 8)) & 1
+
+
+def _pack_msb_first(bits: jax.Array, k: int) -> jax.Array:
+    weights = (1 << jnp.arange(k - 1, -1, -1, dtype=jnp.int32))
+    return jnp.sum(bits * weights, axis=-1)
+
+
+def _vertex_ids(metric, k, family, mix_mul, mix_add, x: jax.Array) -> jax.Array:
+    if metric == "cosine":
+        bits = family.hash_bits(x)[:, 0, :]  # [n, k]
+    else:
+        h = family.hash_values(x)[:, 0, :]   # [n, k]
+        bits = _f_bits(h, mix_mul, mix_add)
+    return _pack_msb_first(bits, k)
+
+
+def build_hypercube(
+    key: jax.Array,
+    vectors: jax.Array,
+    metric: str,
+    k: int,
+    euclidean_h_w: float,
+) -> Hypercube:
+    """create_hypercube, batched (lsh_cube.hpp:108-136)."""
+    d = vectors.shape[1]
+    kf, km = jax.random.split(key)
+    mix_mul = mix_add = None
+    if metric == "cosine":
+        fam = CosineLsh.create(kf, d, k, L=1)
+    elif metric == "euclidean":
+        fam = PStableLsh.create(kf, d, k, L=1, w=euclidean_h_w)
+        k1, k2 = jax.random.split(km)
+        mix_mul = jax.random.randint(k1, (k,), 0, 1 << 30, dtype=jnp.int32) * 2 + 1
+        mix_add = jax.random.randint(k2, (k,), 0, 1 << 30, dtype=jnp.int32)
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+
+    vertices = _vertex_ids(metric, k, fam, mix_mul, mix_add, vectors)
+    sorted_rows, starts = _csr_from_buckets(vertices[:, None], 1 << k)
+    return Hypercube(
+        metric=metric,
+        k=k,
+        n_rows=vectors.shape[0],
+        family=fam,
+        mix_mul=mix_mul,
+        mix_add=mix_add,
+        vertices=vertices,
+        sorted_rows=sorted_rows,
+        bucket_starts=starts,
+    )
+
+
+def cube_candidate_mask(cube: Hypercube, queries: jax.Array, probes: int) -> jax.Array:
+    """Dense [q, n] mask — union of buckets over the probe schedule
+    (get_hypercube_combined_buckets, lsh_cube.hpp:139-177)."""
+    qv = _vertex_ids(cube.metric, cube.k, cube.family, cube.mix_mul, cube.mix_add, queries)
+    masks = jnp.asarray(hamming_probe_order(cube.k, probes))  # [p]
+    probe_vertices = qv[:, None] ^ masks[None, :]             # [q, p]
+    return jnp.any(
+        probe_vertices[:, :, None] == cube.vertices[None, None, :], axis=1
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("probes", "budget"))
+def cube_candidate_ids(
+    cube: Hypercube, queries: jax.Array, probes: int, budget: int
+) -> jax.Array:
+    """CSR fixed-budget probe: [q, d] -> [q, budget] row ids (-1 pad)."""
+    qv = _vertex_ids(cube.metric, cube.k, cube.family, cube.mix_mul, cube.mix_add, queries)
+    masks = jnp.asarray(hamming_probe_order(cube.k, probes))
+    per_probe = -(-budget // masks.shape[0])
+    sentinel = cube.n_rows
+
+    def per_query(v):
+        def gather(b):
+            start = cube.bucket_starts[0, b]
+            end = cube.bucket_starts[0, b + 1]
+            offs = start + jnp.arange(per_probe, dtype=jnp.int32)
+            rows = cube.sorted_rows[0, jnp.minimum(offs, cube.n_rows - 1)]
+            return jnp.where(offs < end, rows, sentinel)
+
+        gathered = jax.vmap(gather)(v ^ masks).reshape(-1)
+        return _dedup_fixed(gathered, sentinel, budget)
+
+    return jax.vmap(per_query)(qv)

@@ -1,0 +1,222 @@
+"""LSH index structures: bucket tables, candidate retrieval, multi-table union.
+
+The reference stores each table as pointer buckets (CustHashtable ->
+VectorBucket -> CustVector*, /root/reference/lib/data_structures/
+cust_hashtable.hpp, vector_bucket.hpp) and unions the query's bucket across
+L tables through a std::set of pointers (lsh_cube.hpp:77-106).
+
+TPU-native layout — two query paths over the same index arrays:
+
+1. **Dense mask path** (exact reference semantics, ideal for n up to ~10^5):
+   candidate[q, i] = OR over tables of (bucket_id match AND, for euclidean,
+   full k-tuple "detailed hash" match).  The set-union is the OR; dedup is
+   free.  Everything is a broadcasted integer compare on the VPU.
+
+2. **CSR fixed-budget path** (for 10^6..10^9 rows, and the unit the sharded
+   engine routes over): per table, rows sorted by bucket id + offset table
+   (built with one sort per table); a query gathers a fixed-size window per
+   table, dedups by sort, and pads to `budget` with -1.  Static shapes
+   throughout — the price is truncation, which the recall oracle measures.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from crypto_rec_tpu.models.lsh.hyperplane import CosineLsh
+from crypto_rec_tpu.models.lsh.pstable import PStableLsh
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("family", "bucket_ids", "detailed", "sorted_rows", "bucket_starts"),
+    meta_fields=("metric", "n_buckets", "n_rows"),
+)
+@dataclasses.dataclass
+class LshIndex:
+    """L hash tables over one set of indexed rows.
+
+    bucket_ids:    [n, L] int32 — bucket of row i in table l.
+    detailed:      [n, L, k] int32 h-tuples (euclidean only, else None).
+    sorted_rows:   [L, n] int32 — row ids sorted by bucket id per table (CSR).
+    bucket_starts: [L, n_buckets + 1] int32 — CSR offsets per table.
+    """
+
+    metric: str
+    n_buckets: int
+    n_rows: int
+    family: object  # CosineLsh | PStableLsh
+    bucket_ids: jax.Array
+    detailed: Optional[jax.Array]
+    sorted_rows: jax.Array
+    bucket_starts: jax.Array
+
+
+def _csr_from_buckets(bucket_ids: jax.Array, n_buckets: int) -> Tuple[jax.Array, jax.Array]:
+    """[n, L] -> (sorted_rows [L, n], starts [L, n_buckets + 1]).
+
+    The per-table sort is the TPU replacement for pointer-bucket insertion
+    (cust_hashtable.hpp:65-70): one `sort` + one `searchsorted` per table.
+    """
+    n, L = bucket_ids.shape
+
+    def one_table(b):  # b: [n]
+        order = jnp.argsort(b)
+        sorted_b = b[order]
+        starts = jnp.searchsorted(
+            sorted_b, jnp.arange(n_buckets + 1, dtype=b.dtype), side="left"
+        ).astype(jnp.int32)
+        return order.astype(jnp.int32), starts
+
+    rows, starts = jax.vmap(one_table)(bucket_ids.T)
+    return rows, starts
+
+
+def build_index(
+    key: jax.Array,
+    vectors: jax.Array,
+    metric: str,
+    k: int,
+    L: int,
+    lsh_bucket_div: int,
+    euclidean_h_w: float,
+) -> LshIndex:
+    """create_LSH_hashtables, batched (lsh_cube.hpp:44-74).
+
+    Table sizing parity: euclidean tables have n / lsh_bucket_div buckets,
+    cosine tables 2^k (lsh_cube.hpp:61-66).
+    """
+    n = vectors.shape[0]
+    d = vectors.shape[1]
+    if metric == "cosine":
+        fam = CosineLsh.create(key, d, k, L)
+        n_buckets = fam.n_buckets
+        bucket_ids = fam.bucket_ids(vectors)
+        detailed = None
+    elif metric == "euclidean":
+        fam = PStableLsh.create(key, d, k, L, euclidean_h_w)
+        n_buckets = max(1, n // max(1, lsh_bucket_div))
+        detailed = fam.hash_values(vectors)
+        bucket_ids = fam.bucket_ids_from_hashes(detailed, n_buckets)
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+
+    sorted_rows, starts = _csr_from_buckets(bucket_ids, n_buckets)
+    return LshIndex(
+        metric=metric,
+        n_buckets=n_buckets,
+        n_rows=n,
+        family=fam,
+        bucket_ids=bucket_ids,
+        detailed=detailed,
+        sorted_rows=sorted_rows,
+        bucket_starts=starts,
+    )
+
+
+def query_hashes(index: LshIndex, queries: jax.Array) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Hash queries with the index's family -> (bucket_ids [q, L], detailed)."""
+    if index.metric == "cosine":
+        return index.family.bucket_ids(queries), None
+    qh = index.family.hash_values(queries)
+    return index.family.bucket_ids_from_hashes(qh, index.n_buckets), qh
+
+
+def candidate_mask(
+    index: LshIndex,
+    queries: jax.Array,
+    filtered: bool = True,
+) -> jax.Array:
+    """Dense [q, n] candidate mask == get_LSH_[filtered_]combined_buckets
+    (lsh_cube.hpp:77-106).
+
+    For cosine tables the bucket id IS the k-bit tuple, so the filtered and
+    unfiltered paths coincide (getFilteredBucketFor falls back to the plain
+    bucket when the generator has no detailed hashes,
+    cust_hashtable.hpp:73-103).
+    """
+    q_buckets, q_detailed = query_hashes(index, queries)
+    same_bucket = q_buckets[:, None, :] == index.bucket_ids[None, :, :]  # [q, n, L]
+    if filtered and index.detailed is not None:
+        same_tuple = jnp.all(
+            q_detailed[:, None, :, :] == index.detailed[None, :, :, :], axis=-1
+        )
+        same_bucket = same_bucket & same_tuple
+    return jnp.any(same_bucket, axis=-1)
+
+
+def _dedup_fixed(ids: jax.Array, sentinel: int, budget: int) -> jax.Array:
+    """Sort-unique within a fixed-size id list; pad with -1.
+
+    The std::set union across tables (lsh_cube.hpp:80-89) as two small sorts:
+    sort, mark duplicates as sentinel, sort again, truncate.
+    """
+    s = jnp.sort(ids)
+    dup = jnp.concatenate([jnp.zeros((1,), bool), s[1:] == s[:-1]])
+    s = jnp.where(dup, sentinel, s)
+    s = jnp.sort(s)[:budget]
+    return jnp.where(s == sentinel, -1, s)
+
+
+@functools.partial(jax.jit, static_argnames=("budget", "filtered"))
+def candidate_ids(
+    index: LshIndex,
+    queries: jax.Array,
+    budget: int,
+    filtered: bool = True,
+) -> jax.Array:
+    """CSR fixed-budget retrieval: [q, d] -> [q, budget] row ids (-1 pad).
+
+    Per query and table: window of up to ceil(budget / L) rows from the CSR
+    bucket slice, then a sort-dedup union across tables.  Truncation (bucket
+    larger than the window) is the static-shape tradeoff; recall-vs-budget is
+    measured against the exact oracle.
+    """
+    L = index.bucket_ids.shape[1]
+    per_table = -(-budget // L)  # cdiv: union before dedup covers the budget
+    q_buckets, q_detailed = query_hashes(index, queries)
+    sentinel = index.n_rows
+
+    def per_query(qb, qd):
+        def per_table_gather(l, b):
+            start = index.bucket_starts[l, b]
+            end = index.bucket_starts[l, b + 1]
+            # Stagger the window by table so that when several tables map the
+            # query to an identical member set (tightly clustered data), the
+            # union across tables covers up to L windows of the bucket
+            # instead of L copies of the same head.
+            base = jnp.minimum(
+                start + l * per_table, jnp.maximum(start, end - per_table)
+            )
+            offs = base + jnp.arange(per_table, dtype=jnp.int32)
+            valid = offs < end
+            rows = index.sorted_rows[l, jnp.minimum(offs, index.n_rows - 1)]
+            if filtered and index.detailed is not None:
+                tuple_ok = jnp.all(index.detailed[rows, l, :] == qd[l][None, :], axis=-1)
+                valid = valid & tuple_ok
+            return jnp.where(valid, rows, sentinel)
+
+        gathered = jnp.stack(
+            [per_table_gather(l, qb[l]) for l in range(L)]
+        ).reshape(-1)
+        return _dedup_fixed(gathered, sentinel, budget)
+
+    if q_detailed is None:
+        q_detailed = jnp.zeros((queries.shape[0], L, 1), jnp.int32)
+    return jax.vmap(per_query)(q_buckets, q_detailed)
+
+
+def mask_from_candidate_ids(ids: jax.Array, n_rows: int) -> jax.Array:
+    """[q, budget] id lists -> dense [q, n] bool mask (for engines that want
+    the mask form; -1 entries are ignored)."""
+    q = ids.shape[0]
+    mask = jnp.zeros((q, n_rows), dtype=bool)
+    rows = jnp.broadcast_to(jnp.arange(q)[:, None], ids.shape)
+    safe = jnp.maximum(ids, 0)
+    updates = ids >= 0
+    return mask.at[rows, safe].max(updates)

@@ -1,0 +1,238 @@
+"""End-to-end recommendation pipeline — the TPU re-design of main.cpp.
+
+Phases mirror /root/reference/main.cpp:36-390:
+  0. cluster the "project 2" tweet embeddings (k-means++/Lloyd, cosine)
+     (main.cpp:81-111);
+  1. ingest tweets, score sentiment, build real + virtual ("fake") user
+     matrices (main.cpp:120-137);
+  A. cosine-LSH CF over real users, top-5 (main.cpp:149-185);
+  B. cosine-LSH CF with the virtual users as the index, top-2
+     (main.cpp:195-230);
+  A'. euclidean k-means clustering of real users, neighbors = cluster
+     co-members, top-5 (main.cpp:240-325);
+  B'. euclidean k-means++ clustering of virtual users, each real user joins
+     the nearest centroid's cluster, top-2 (main.cpp:334-381);
+  V. optional 10-fold CV MAE (main.cpp:393-437).
+
+Each phase's queries run as ONE batched jit call instead of a per-user loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crypto_rec_tpu.config import RecConfig
+from crypto_rec_tpu.io.ingest import CoinTable, score_tweets
+from crypto_rec_tpu.io.readers import (
+    read_dense_vectors,
+    read_lexicon,
+    read_str_vectors,
+    write_recommendations,
+)
+from crypto_rec_tpu.io.users import build_cluster_user_matrix, build_user_matrix
+from crypto_rec_tpu.models.cluster.kmeans import kmeans
+from crypto_rec_tpu.models.lsh.index import build_index, candidate_mask
+from crypto_rec_tpu.models.rec.engine import RatingSet, recommend
+from crypto_rec_tpu.models.rec.validate import ten_fold_mae
+from crypto_rec_tpu.utils.timing import PhaseTimer
+from crypto_rec_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    phase_ms: Dict[str, int]
+    mae: Optional[float]
+    n_users: int
+    n_fake_users: int
+
+
+def _write_phase(
+    out, header: str, user_ids: List[str], rec, coins: CoinTable, timer, phase: str
+) -> None:
+    out.write(header + "\n")
+    top = np.asarray(rec.top_n)
+    has = np.asarray(rec.has_neighbors)
+    for i, uid in enumerate(user_ids):
+        if not has[i]:
+            continue  # reference skips users with empty buckets (main.cpp:161)
+        write_recommendations(out, uid, top[i], coins.queries, name_index=4)
+    out.write(f"Execution Time: {timer.ms(phase)}\n")
+
+
+def lsh_phase(
+    key: jax.Array,
+    queries: RatingSet,
+    index_set: RatingSet,
+    cfg: RecConfig,
+    top_n: int,
+    top_p: int,
+):
+    """One cosine-LSH recommendation phase (build + batched query)."""
+    index = build_index(
+        key,
+        index_set.ratings,
+        "cosine",
+        cfg.k,
+        cfg.L,
+        cfg.lsh_bucket_div,
+        cfg.euclidean_h_w,
+    )
+    mask = candidate_mask(index, queries.ratings, filtered=True)
+    return recommend(queries, index_set, mask, top_p=top_p, top_n=top_n)
+
+
+def cluster_phase(
+    key: jax.Array,
+    queries: RatingSet,
+    member_set: RatingSet,
+    cfg: RecConfig,
+    top_n: int,
+    init: str,
+    self_cluster: bool,
+):
+    """One clustering recommendation phase.
+
+    self_cluster=True: queries ARE the clustered set; neighbors = co-members
+    (phase A', main.cpp:246-269).  False: the member_set is clustered and each
+    query joins the nearest centroid's cluster (phase B', main.cpp:340-373).
+    """
+    # Clamp k to the member count (the reference's rand_selection would spin
+    # forever when cluster_num exceeds the population, initialization.hpp:52-64).
+    n_members = member_set.ratings.shape[0]
+    k_clusters = max(1, min(cfg.cluster_num, n_members))
+    km = kmeans(
+        key,
+        member_set.ratings,
+        k_clusters,
+        "euclidean",
+        cfg.max_algo_iterations,
+        cfg.min_dist_kmeans,
+        init=init,
+    )
+    if self_cluster:
+        q_labels = km.labels
+    else:
+        from crypto_rec_tpu.models.cluster.assign import lloyd_assign
+
+        q_labels, _ = lloyd_assign(queries.ratings, km.centroids, "euclidean")
+    mask = q_labels[:, None] == km.labels[None, :]
+    return recommend(queries, member_set, mask, top_p=member_set.ratings.shape[0], top_n=top_n)
+
+
+def run_pipeline(
+    input_file: str,
+    output_file: str,
+    cfg: RecConfig,
+    validate: bool = False,
+) -> PipelineResult:
+    key = jax.random.PRNGKey(cfg.seed)
+    timer = PhaseTimer()
+
+    # ---- Phase 0: embedding clustering (main.cpp:81-111) ----
+    with timer.phase("phase0"):
+        emb_ids, emb = read_dense_vectors(
+            cfg.proj2_input, cfg.proj2_csv_delimiter, skip_lines=0
+        )
+        key, k0 = jax.random.split(key)
+        km0 = kmeans(
+            k0,
+            jnp.asarray(emb),
+            cfg.proj2_cluster_num,
+            "cosine",
+            cfg.max_algo_iterations,
+            cfg.min_dist_kmeans,
+            init="kmeans++",
+        )
+        emb_labels = np.asarray(km0.labels)
+
+    # ---- Phase 1: ingest (main.cpp:120-137) ----
+    with timer.phase("ingest"):
+        rows, p_header = read_str_vectors(
+            input_file, cfg.csv_delimiter, with_header_p=True
+        )
+        top_p = p_header if p_header else cfg.topP
+        coin_rows, _ = read_str_vectors(cfg.query_file, cfg.csv_delimiter)
+        coins = CoinTable.from_rows(coin_rows)
+        lexicon = read_lexicon(cfg.lexicon_file, cfg.csv_delimiter)
+        batch = score_tweets(rows, lexicon, coins)
+        users = build_user_matrix(batch)
+        # map phase-0 embeddings (one per tweet id) to clusters
+        tweet_pos = {tid: i for i, tid in enumerate(batch.tweet_ids)}
+        tweet_cluster = np.zeros(batch.n_tweets, np.int32)
+        tweet_mask = np.zeros(batch.n_tweets, bool)
+        for eid, lab in zip(emb_ids, emb_labels):
+            pos = tweet_pos.get(eid)
+            if pos is not None:
+                tweet_cluster[pos] = lab
+                tweet_mask[pos] = True
+        fake_users = build_cluster_user_matrix(
+            batch, tweet_cluster, cfg.proj2_cluster_num, tweet_mask
+        )
+    log.info(
+        "ingest: %d tweets, %d users, %d virtual users, P=%d",
+        batch.n_tweets, users.n_users, fake_users.n_users, top_p,
+    )
+
+    real = RatingSet.from_user_matrix(users)
+    fake = RatingSet.from_user_matrix(fake_users)
+
+    mae = None
+    with open(output_file, "w", encoding="utf-8") as out:
+        # ---- Phase A: cosine LSH, real users (main.cpp:149-185) ----
+        key, ka = jax.random.split(key)
+        with timer.phase("lsh_A"):
+            rec_a = lsh_phase(ka, real, real, cfg, top_n=5, top_p=top_p)
+            jax.block_until_ready(rec_a.top_n)
+        _write_phase(out, "Cosine LSH", users.ids, rec_a, coins, timer, "lsh_A")
+
+        if validate:
+            key, kv = jax.random.split(key)
+            with timer.phase("validate"):
+                mae = ten_fold_mae(
+                    kv, real, "cosine", cfg.k, cfg.L,
+                    cfg.lsh_bucket_div, cfg.euclidean_h_w, top_p,
+                )
+            log.info("10-fold CV MAE: %.4f", mae)
+
+        # ---- Phase B: cosine LSH, virtual-user index (main.cpp:195-230) ----
+        key, kb = jax.random.split(key)
+        with timer.phase("lsh_B"):
+            rec_b = lsh_phase(kb, real, fake, cfg, top_n=2, top_p=top_p)
+            jax.block_until_ready(rec_b.top_n)
+        _write_phase(out, "Cosine LSH", users.ids, rec_b, coins, timer, "lsh_B")
+
+        # ---- Phase A': euclidean clustering, real users (main.cpp:240-325) ----
+        key, kc = jax.random.split(key)
+        with timer.phase("cluster_A"):
+            rec_c = cluster_phase(
+                kc, real, real, cfg, top_n=5, init="random", self_cluster=True
+            )
+            jax.block_until_ready(rec_c.top_n)
+        _write_phase(
+            out, "Clustering Recommendation", users.ids, rec_c, coins, timer, "cluster_A"
+        )
+
+        # ---- Phase B': euclidean clustering of virtual users (main.cpp:334-381) ----
+        key, kd = jax.random.split(key)
+        with timer.phase("cluster_B"):
+            rec_d = cluster_phase(
+                kd, real, fake, cfg, top_n=2, init="kmeans++", self_cluster=False
+            )
+            jax.block_until_ready(rec_d.top_n)
+        _write_phase(
+            out, "Clustering Recommendation", users.ids, rec_d, coins, timer, "cluster_B"
+        )
+
+    return PipelineResult(
+        phase_ms={k: timer.ms(k) for k in timer.phases},
+        mae=mae,
+        n_users=users.n_users,
+        n_fake_users=fake_users.n_users,
+    )

@@ -1,0 +1,119 @@
+"""10-fold cross-validation MAE for the LSH recommender.
+
+Reference flow (lsh_rec_10_fold_validation_A, /root/reference/main.cpp:393-437
++ crypto_rec.hpp:348-449):
+* split users into 10 random folds of n/10 (remainder users are silently
+  dropped by split_to_10, crypto_rec.hpp:351-366 — kept for parity);
+* per fold: build LSH tables on the other 9, and for each held-out user
+  "hide one score": zero out the imputed unknowns, hide one random known
+  rating, re-impute it with the mean of the remaining coins, skip users
+  with fewer than 2 known coins or an otherwise all-zero vector
+  (hide_one_score, crypto_rec.hpp:393-449);
+* MAE = mean over folds of mean |hidden - predicted| over scored users.
+
+Deviations (SURVEY.md §5): the reference draws the hidden coin as an index
+into the known-index list but then hides that *position* in the dimension
+array (crypto_rec.hpp:410-412), and reseeds rand with time(0) per call; we
+hide a uniformly random known coin with an explicit jax.random key.
+
+TPU-first: each fold is one batched build + one batched query — no per-user
+loops.  All folds share one jit cache entry (identical shapes).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crypto_rec_tpu.models.lsh.index import build_index, candidate_mask
+from crypto_rec_tpu.models.rec.engine import RatingSet, recommend
+
+
+def hide_one_score(
+    key: jax.Array, ratings: jax.Array, known: jax.Array, c: int
+) -> Tuple[RatingSet, jax.Array, jax.Array]:
+    """Batched hide_one_score (crypto_rec.hpp:393-449).
+
+    Returns (hidden RatingSet, hidden coin index [q], scoreable mask [q]).
+    Scoreable: >= 2 known coins AND the remaining vector is not all-zero.
+    """
+    q = ratings.shape[0]
+    known_counts = jnp.sum(known, axis=1)
+    logits = jnp.where(known, 0.0, -jnp.inf)
+    hide_idx = jax.random.categorical(key, logits, axis=1)         # [q]
+    hide_oh = jax.nn.one_hot(hide_idx, c, dtype=bool)
+
+    # unknown cells -> 0; then the hidden cell gets the mean of the rest.
+    zeroed = jnp.where(known, ratings, 0.0)
+    rest_sum = jnp.sum(zeroed, axis=1) - jnp.sum(jnp.where(hide_oh, zeroed, 0.0), axis=1)
+    new_mean = rest_sum / jnp.maximum(c - 1, 1)
+    new_ratings = jnp.where(hide_oh, new_mean[:, None], zeroed)
+    useless = rest_sum == 0.0                                      # crypto_rec.hpp:421-433
+    scoreable = (known_counts >= 2) & ~useless
+    hidden = RatingSet(ratings=new_ratings, known=~hide_oh, mean=new_mean)
+    return hidden, hide_idx, scoreable
+
+
+def ten_fold_mae(
+    key: jax.Array,
+    users: RatingSet,
+    metric: str,
+    k: int,
+    L: int,
+    lsh_bucket_div: int,
+    euclidean_h_w: float,
+    top_p: int,
+) -> float:
+    """Overall 10-fold CV MAE (main.cpp:393-437)."""
+    n, c = users.ratings.shape
+    fold_size = n // 10
+    if fold_size == 0:
+        raise ValueError("need at least 10 users for 10-fold CV")
+    key, kperm = jax.random.split(key)
+    perm = np.asarray(jax.random.permutation(kperm, n))[: 10 * fold_size]
+    folds = perm.reshape(10, fold_size)
+
+    @jax.jit
+    def one_fold(train: RatingSet, test: RatingSet, test_known, kidx):
+        kfold, khide = jax.random.split(kidx)
+        hidden, hide_idx, scoreable = hide_one_score(
+            khide, test.ratings, test_known, c
+        )
+        index = build_index(
+            kfold, train.ratings, metric, k, L, lsh_bucket_div, euclidean_h_w
+        )
+        mask = candidate_mask(index, hidden.ratings, filtered=True)
+        rec = recommend(hidden, train, mask, top_p=top_p, top_n=1)
+        pred_hidden = jnp.take_along_axis(
+            rec.predicted, hide_idx[:, None], axis=1
+        )[:, 0]
+        old = jnp.take_along_axis(test.ratings, hide_idx[:, None], axis=1)[:, 0]
+        ok = scoreable & rec.has_neighbors
+        abs_err = jnp.abs(old - pred_hidden) * ok
+        count = jnp.sum(ok)
+        return jnp.sum(abs_err) / jnp.maximum(count, 1), count
+
+    ratings = np.asarray(users.ratings)
+    known = np.asarray(users.known)
+    mean = np.asarray(users.mean)
+    fold_maes = []
+    for i in range(10):
+        test_idx = folds[i]
+        train_idx = np.concatenate([folds[j] for j in range(10) if j != i])
+        train = RatingSet(
+            jnp.asarray(ratings[train_idx]),
+            jnp.asarray(known[train_idx]),
+            jnp.asarray(mean[train_idx]),
+        )
+        test = RatingSet(
+            jnp.asarray(ratings[test_idx]),
+            jnp.asarray(known[test_idx]),
+            jnp.asarray(mean[test_idx]),
+        )
+        key, kidx = jax.random.split(key)
+        mae, _count = one_fold(train, test, jnp.asarray(known[test_idx]), kidx)
+        fold_maes.append(float(mae))
+    return float(np.mean(fold_maes))

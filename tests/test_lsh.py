@@ -1,0 +1,115 @@
+"""LSH family + index tests: bit semantics, collision properties, retrieval
+paths (dense mask vs CSR budget), detailed-hash filtering, hypercube."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from crypto_rec_tpu.models.lsh.hyperplane import CosineLsh
+from crypto_rec_tpu.models.lsh.pstable import PStableLsh
+from crypto_rec_tpu.models.lsh.index import (
+    build_index,
+    candidate_mask,
+    candidate_ids,
+    mask_from_candidate_ids,
+)
+from crypto_rec_tpu.models.lsh.hypercube import (
+    build_hypercube,
+    cube_candidate_mask,
+    cube_candidate_ids,
+)
+from crypto_rec_tpu.ops.oracle import exact_nearest, recall_at_k
+
+RNG = np.random.default_rng(1)
+KEY = jax.random.PRNGKey(0)
+
+
+def test_cosine_bits_match_manual_projection():
+    fam = CosineLsh.create(KEY, dim=8, k=3, L=2)
+    x = jnp.asarray(RNG.normal(size=(5, 8)).astype(np.float32))
+    bits = np.asarray(fam.hash_bits(x))
+    manual = (np.asarray(x) @ np.asarray(fam.proj) >= 0).astype(np.int32)
+    np.testing.assert_array_equal(bits.reshape(5, -1), manual)
+    # MSB-first packing (cosine_g_gen.hpp:62-72)
+    ids = np.asarray(fam.bucket_ids(x))
+    want = manual.reshape(5, 2, 3) @ np.array([4, 2, 1])
+    np.testing.assert_array_equal(ids, want)
+    assert ids.min() >= 0 and ids.max() < fam.n_buckets
+
+
+def test_cosine_collision_prob_tracks_angle():
+    # SimHash property: P[bit collision] = 1 - theta / pi.
+    fam = CosineLsh.create(KEY, dim=32, k=1, L=512)
+    a = np.zeros((1, 32), np.float32)
+    a[0, 0] = 1.0
+    b = np.zeros((1, 32), np.float32)
+    theta = 0.5
+    b[0, 0], b[0, 1] = np.cos(theta), np.sin(theta)
+    ba = np.asarray(fam.bucket_ids(jnp.asarray(a)))
+    bb = np.asarray(fam.bucket_ids(jnp.asarray(b)))
+    frac = (ba == bb).mean()
+    assert abs(frac - (1 - theta / np.pi)) < 0.06
+
+
+def test_pstable_hash_values_formula():
+    fam = PStableLsh.create(KEY, dim=6, k=2, L=3, w=0.5)
+    x = jnp.asarray(RNG.normal(size=(4, 6)).astype(np.float32))
+    h = np.asarray(fam.hash_values(x))
+    dots = (np.asarray(x) @ np.asarray(fam.proj)).reshape(4, 3, 2)
+    want = np.floor((dots + np.asarray(fam.offsets)[None]) / 0.5).astype(np.int32)
+    np.testing.assert_array_equal(h, want)
+
+
+def test_dense_mask_includes_self_and_matches_csr():
+    x = jnp.asarray(RNG.normal(size=(64, 16)).astype(np.float32))
+    for metric in ("cosine", "euclidean"):
+        idx = build_index(KEY, x, metric, k=4, L=3, lsh_bucket_div=4, euclidean_h_w=2.0)
+        mask = np.asarray(candidate_mask(idx, x, filtered=True))
+        assert np.all(np.diag(mask)), metric  # every row collides with itself
+        ids = np.asarray(candidate_ids(idx, x, budget=64, filtered=True))
+        mask2 = np.asarray(mask_from_candidate_ids(jnp.asarray(ids), idx.n_rows))
+        # with budget >= n the CSR union must equal the dense mask
+        np.testing.assert_array_equal(mask2, mask, err_msg=metric)
+
+
+def test_detailed_filter_is_stricter():
+    x = jnp.asarray(RNG.normal(size=(128, 8)).astype(np.float32))
+    idx = build_index(KEY, x, "euclidean", k=3, L=2, lsh_bucket_div=16, euclidean_h_w=4.0)
+    unfiltered = np.asarray(candidate_mask(idx, x, filtered=False))
+    filtered = np.asarray(candidate_mask(idx, x, filtered=True))
+    assert not np.any(filtered & ~unfiltered)
+    assert filtered.sum() <= unfiltered.sum()
+
+
+def test_lsh_recall_on_clustered_data():
+    # Clustered data: LSH with enough tables should retrieve true neighbors.
+    centers = RNG.normal(size=(8, 24)).astype(np.float32) * 5
+    pts = (centers[RNG.integers(0, 8, size=400)] + 0.1 * RNG.normal(size=(400, 24))).astype(
+        np.float32
+    )
+    x = jnp.asarray(pts)
+    idx = build_index(KEY, x, "cosine", k=6, L=8, lsh_bucket_div=4, euclidean_h_w=1.0)
+    ids = candidate_ids(idx, x, budget=256)
+    _d, true_idx = exact_nearest(x, x, "cosine", 5)
+    r = float(recall_at_k(ids, true_idx))
+    assert r > 0.95, r
+
+
+def test_hypercube_paths_agree():
+    x = jnp.asarray(RNG.normal(size=(96, 12)).astype(np.float32))
+    for metric in ("cosine", "euclidean"):
+        cube = build_hypercube(KEY, x, metric, k=4, euclidean_h_w=2.0)
+        mask = np.asarray(cube_candidate_mask(cube, x, probes=5))
+        ids = np.asarray(cube_candidate_ids(cube, x, probes=5, budget=96))
+        mask2 = np.asarray(mask_from_candidate_ids(jnp.asarray(ids), cube.n_rows))
+        np.testing.assert_array_equal(mask2, mask, err_msg=metric)
+        # probes == full cube covers everything
+        full = np.asarray(cube_candidate_mask(cube, x, probes=16))
+        assert np.all(full)
+
+
+def test_hypercube_home_vertex_contains_self():
+    x = jnp.asarray(RNG.normal(size=(50, 10)).astype(np.float32))
+    cube = build_hypercube(KEY, x, "euclidean", k=3, euclidean_h_w=1.0)
+    mask = np.asarray(cube_candidate_mask(cube, x, probes=1))
+    assert np.all(np.diag(mask))

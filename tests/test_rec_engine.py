@@ -1,0 +1,97 @@
+"""Recommender-engine math vs a literal numpy transcription of the
+reference's per-user loops (crypto_rec.hpp:213-345)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from crypto_rec_tpu.models.rec.engine import (
+    RatingSet,
+    recommend,
+    recommend_from_ids,
+)
+
+RNG = np.random.default_rng(3)
+
+
+def _make_ratings(n, c, seed=0):
+    rng = np.random.default_rng(seed)
+    known = rng.random((n, c)) < 0.6
+    # ensure at least one known per user
+    known[np.arange(n), rng.integers(0, c, n)] = True
+    raw = np.abs(rng.normal(size=(n, c))).astype(np.float32) * known
+    mean = (raw * known).sum(1) / known.sum(1)
+    ratings = np.where(known, raw, mean[:, None]).astype(np.float32)
+    return RatingSet(
+        ratings=jnp.asarray(ratings),
+        known=jnp.asarray(known),
+        mean=jnp.asarray(mean.astype(np.float32)),
+    ), ratings, known, mean
+
+
+def _reference_predict(q_r, q_known, q_mean, n_r, n_mean, sims_desc_idx, sims, P):
+    """get_P_closest + get_predicted_user_sim, literal numpy port."""
+    order = np.argsort(-sims, kind="stable")[:P]
+    sel, w = sims_desc_idx[order] if sims_desc_idx is not None else (order, sims[order]), None
+    sel = order
+    w = sims[order]
+    pred = q_r.copy()
+    for j in np.where(~q_known)[0]:
+        main = sum(w[p] * (n_r[sel[p], j] - n_mean[sel[p]]) for p in range(len(sel)))
+        absw = np.abs(w).sum()
+        pred[j] = q_mean + (main / absw if absw > 0 else 0.0)
+    return pred
+
+
+def test_recommend_matches_reference_math():
+    users, ratings, known, mean = _make_ratings(12, 6, seed=5)
+    mask = jnp.ones((12, 12), bool)
+    P = 4
+    rec = recommend(users, users, mask, top_p=P, top_n=2)
+    sims_all = np.asarray(
+        (ratings @ ratings.T)
+        / (np.linalg.norm(ratings, axis=1)[:, None] * np.linalg.norm(ratings, axis=1)[None])
+    )
+    for q in range(12):
+        want = _reference_predict(
+            ratings[q], known[q], mean[q], ratings, mean, None, sims_all[q], P
+        )
+        np.testing.assert_allclose(np.asarray(rec.predicted)[q], want, atol=1e-4)
+        # top-n picks the best unknown coins
+        unknown = np.where(~known[q])[0]
+        if len(unknown):
+            best = unknown[np.argmax(want[unknown])]
+            assert np.asarray(rec.top_n)[q, 0] == best
+
+
+def test_self_neighbor_contributes_zero_to_unknowns():
+    users, ratings, known, mean = _make_ratings(5, 4, seed=7)
+    mask = jnp.eye(5, dtype=bool)  # only self as candidate
+    rec = recommend(users, users, mask, top_p=3, top_n=1)
+    # self has sim 1 but rating-mean == 0 on unknown coins -> pred == mean
+    pred = np.asarray(rec.predicted)
+    for q in range(5):
+        for j in np.where(~known[q])[0]:
+            np.testing.assert_allclose(pred[q, j], mean[q], atol=1e-5)
+
+
+def test_no_neighbors_flag():
+    users, *_ = _make_ratings(4, 5)
+    mask = jnp.zeros((4, 4), bool)
+    rec = recommend(users, users, mask, top_p=2, top_n=1)
+    assert not np.any(np.asarray(rec.has_neighbors))
+
+
+def test_recommend_from_ids_matches_mask_path():
+    users, ratings, known, mean = _make_ratings(10, 6, seed=9)
+    # candidate ids: everyone sees rows 0..7
+    ids = jnp.broadcast_to(jnp.arange(8), (10, 8)).astype(jnp.int32)
+    mask = jnp.zeros((10, 10), bool).at[:, :8].set(True)
+    via_mask = recommend(users, users, mask, top_p=4, top_n=2)
+    via_ids = recommend_from_ids(users, users, ids, top_p=4, top_n=2)
+    np.testing.assert_allclose(
+        np.asarray(via_mask.predicted), np.asarray(via_ids.predicted), atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(via_mask.top_n), np.asarray(via_ids.top_n)
+    )
