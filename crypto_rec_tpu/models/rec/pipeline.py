@@ -132,7 +132,10 @@ def run_pipeline(
     cfg: RecConfig,
     validate: bool = False,
 ) -> PipelineResult:
-    key = jax.random.PRNGKey(cfg.seed)
+    # Independent per-phase keys (fold_in): toggling -validate or reordering
+    # phases cannot shift any other phase's randomness.
+    root_key = jax.random.PRNGKey(cfg.seed)
+    phase_key = lambda tag: jax.random.fold_in(root_key, tag)
     timer = PhaseTimer()
 
     # ---- Phase 0: embedding clustering (main.cpp:81-111) ----
@@ -140,9 +143,8 @@ def run_pipeline(
         emb_ids, emb = read_dense_vectors(
             cfg.proj2_input, cfg.proj2_csv_delimiter, skip_lines=0
         )
-        key, k0 = jax.random.split(key)
         km0 = kmeans(
-            k0,
+            phase_key(0),
             jnp.asarray(emb),
             cfg.proj2_cluster_num,
             "cosine",
@@ -186,33 +188,29 @@ def run_pipeline(
     mae = None
     with open(output_file, "w", encoding="utf-8") as out:
         # ---- Phase A: cosine LSH, real users (main.cpp:149-185) ----
-        key, ka = jax.random.split(key)
         with timer.phase("lsh_A"):
-            rec_a = lsh_phase(ka, real, real, cfg, top_n=5, top_p=top_p)
+            rec_a = lsh_phase(phase_key(1), real, real, cfg, top_n=5, top_p=top_p)
             jax.block_until_ready(rec_a.top_n)
         _write_phase(out, "Cosine LSH", users.ids, rec_a, coins, timer, "lsh_A")
 
         if validate:
-            key, kv = jax.random.split(key)
             with timer.phase("validate"):
                 mae = ten_fold_mae(
-                    kv, real, "cosine", cfg.k, cfg.L,
+                    phase_key(5), real, "cosine", cfg.k, cfg.L,
                     cfg.lsh_bucket_div, cfg.euclidean_h_w, top_p,
                 )
             log.info("10-fold CV MAE: %.4f", mae)
 
         # ---- Phase B: cosine LSH, virtual-user index (main.cpp:195-230) ----
-        key, kb = jax.random.split(key)
         with timer.phase("lsh_B"):
-            rec_b = lsh_phase(kb, real, fake, cfg, top_n=2, top_p=top_p)
+            rec_b = lsh_phase(phase_key(2), real, fake, cfg, top_n=2, top_p=top_p)
             jax.block_until_ready(rec_b.top_n)
         _write_phase(out, "Cosine LSH", users.ids, rec_b, coins, timer, "lsh_B")
 
         # ---- Phase A': euclidean clustering, real users (main.cpp:240-325) ----
-        key, kc = jax.random.split(key)
         with timer.phase("cluster_A"):
             rec_c = cluster_phase(
-                kc, real, real, cfg, top_n=5, init="random", self_cluster=True
+                phase_key(3), real, real, cfg, top_n=5, init="random", self_cluster=True
             )
             jax.block_until_ready(rec_c.top_n)
         _write_phase(
@@ -220,10 +218,9 @@ def run_pipeline(
         )
 
         # ---- Phase B': euclidean clustering of virtual users (main.cpp:334-381) ----
-        key, kd = jax.random.split(key)
         with timer.phase("cluster_B"):
             rec_d = cluster_phase(
-                kd, real, fake, cfg, top_n=2, init="kmeans++", self_cluster=False
+                phase_key(4), real, fake, cfg, top_n=2, init="kmeans++", self_cluster=False
             )
             jax.block_until_ready(rec_d.top_n)
         _write_phase(

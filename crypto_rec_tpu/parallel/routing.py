@@ -42,6 +42,10 @@ def _compact_slots(dest_mask: jax.Array, cap: int) -> Tuple[jax.Array, jax.Array
     # sort key: wanted queries first, preserving id order
     key = jnp.where(dest_mask, ids, q_loc)
     sorted_key = jnp.sort(key, axis=0).T           # [S, q_loc]
+    if cap > q_loc:  # pad with the "empty" sentinel
+        sorted_key = jnp.pad(
+            sorted_key, ((0, 0), (0, cap - q_loc)), constant_values=q_loc
+        )
     slots = sorted_key[:, :cap]
     valid = slots < q_loc
     return jnp.where(valid, slots, 0), valid
@@ -91,31 +95,30 @@ def route_queries_by_bucket(
             gids.reshape(S, cap, k), "mp", 0, 0, tiled=False
         )
 
-        # scatter back: query slots[s, c] owns back_*[s, c, :]
-        all_vals = jnp.full((q_loc, S, k), -jnp.inf, jnp.float32)
-        all_gids = jnp.full((q_loc, S, k), -1, jnp.int32)
+        # scatter back: query slots[s, c] owns back_*[s, c, :].  Invalid
+        # capacity slots write into a dump row (q_loc) so they can never
+        # clobber a real query's results.
+        all_vals = jnp.full((q_loc + 1, S, k), -jnp.inf, jnp.float32)
+        all_gids = jnp.full((q_loc + 1, S, k), -1, jnp.int32)
         s_idx = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[:, None], (S, cap))
-        flat_slots = slots.reshape(-1)
+        flat_slots = jnp.where(valid, slots, q_loc).reshape(-1)
         flat_s = s_idx.reshape(-1)
-        all_vals = all_vals.at[flat_slots, flat_s].set(
-            jnp.where(valid.reshape(-1)[:, None], back_vals.reshape(-1, k), -jnp.inf)
-        )
-        all_gids = all_gids.at[flat_slots, flat_s].set(
-            jnp.where(valid.reshape(-1)[:, None], back_gids.reshape(-1, k), -1)
-        )
+        all_vals = all_vals.at[flat_slots, flat_s].set(back_vals.reshape(-1, k))
+        all_gids = all_gids.at[flat_slots, flat_s].set(back_gids.reshape(-1, k))
+        all_vals = all_vals[:q_loc]
+        all_gids = all_gids[:q_loc]
 
         merged_vals, pos = jax.lax.top_k(all_vals.reshape(q_loc, S * k), k)
         merged_gids = jnp.take_along_axis(all_gids.reshape(q_loc, S * k), pos, axis=1)
         merged_gids = jnp.where(merged_vals > -jnp.inf, merged_gids, -1)
         return merged_vals, merged_gids
 
-    from jax.experimental.shard_map import shard_map
-
-    return shard_map(
+    return jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P("mp", None), P("mp", None), P("mp", None), P("mp")),
         out_specs=(P("mp", None), P("mp", None)),
+        check_vma=False,
     )(queries, dest_mask, corpus, row_ids)
 
 

@@ -119,9 +119,9 @@ def _sharded_recommend_impl(
         top = topn_indices(predicted, ~q_k, top_n)
         return predicted, top, jnp.any(top_valid, axis=1), top_vals, top_gid, top_valid
 
-    from jax.experimental.shard_map import shard_map
-
-    return shard_map(
+    # check_vma=False: outputs are replicated over "mp" by construction
+    # (every mp shard computes the identical post-all_gather merge).
+    return jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(
@@ -133,6 +133,7 @@ def _sharded_recommend_impl(
             P("dp", None), P("dp", None), P("dp"),
             P("dp", None), P("dp", None), P("dp", None),
         ),
+        check_vma=False,
     )(q_ratings, q_known, q_mean, n_ratings, n_mean, cand_mask)
 
 

@@ -1,0 +1,98 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh:
+sharded recommend parity vs single-device, all-to-all bucket routing vs
+the exact-NN oracle, distributed top-k merge."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from crypto_rec_tpu.models.rec.engine import RatingSet, recommend
+from crypto_rec_tpu.ops.oracle import exact_nearest, recall_at_k
+from crypto_rec_tpu.parallel.mesh import make_mesh
+from crypto_rec_tpu.parallel.sharded import sharded_recommend, shard_rating_set
+from crypto_rec_tpu.parallel.routing import route_queries_by_bucket
+
+RNG = np.random.default_rng(7)
+
+
+def _ratings(n, c, seed):
+    rng = np.random.default_rng(seed)
+    known = rng.random((n, c)) < 0.6
+    known[np.arange(n), rng.integers(0, c, n)] = True
+    raw = np.abs(rng.normal(size=(n, c))).astype(np.float32) * known
+    mean = (raw * known).sum(1) / known.sum(1)
+    ratings = np.where(known, raw, mean[:, None]).astype(np.float32)
+    return RatingSet(
+        jnp.asarray(ratings), jnp.asarray(known), jnp.asarray(mean.astype(np.float32))
+    )
+
+
+def test_sharded_recommend_matches_single_device():
+    mesh = make_mesh((2, 4))
+    queries = _ratings(16, 12, seed=1)
+    neighbors = _ratings(32, 12, seed=2)
+    mask = jnp.asarray(RNG.random((16, 32)) < 0.5)
+
+    single = recommend(queries, neighbors, mask, top_p=5, top_n=3)
+    nb_sharded = shard_rating_set(mesh, neighbors, "mp")
+    multi = sharded_recommend(mesh, queries, nb_sharded, mask, top_p=5, top_n=3)
+
+    np.testing.assert_allclose(
+        np.asarray(single.predicted), np.asarray(multi.predicted), atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(single.top_n), np.asarray(multi.top_n)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(single.has_neighbors), np.asarray(multi.has_neighbors)
+    )
+    # similarity values agree on valid slots
+    sv, mv = np.asarray(single.sims), np.asarray(multi.sims)
+    valid = np.asarray(single.neighbor_valid)
+    np.testing.assert_allclose(sv[valid], mv[valid], atol=1e-5)
+
+
+def test_route_queries_full_destinations_matches_exact():
+    # every query visits every shard -> routed top-k == exact top-k
+    mesh = make_mesh((1, 8), axis_names=("dp", "mp"))
+    S = 8
+    n, q, d, k = 16 * S, 4 * S, 10, 3
+    corpus = jnp.asarray(RNG.normal(size=(n, d)).astype(np.float32))
+    queries = jnp.asarray(RNG.normal(size=(q, d)).astype(np.float32))
+    dest = jnp.ones((q, S), bool)
+    row_ids = jnp.arange(n, dtype=jnp.int32)
+    vals, gids = route_queries_by_bucket(
+        mesh, queries, dest, corpus, row_ids, "euclidean", k, cap=q // S
+    )
+    _ed, eidx = exact_nearest(queries, corpus, "euclidean", k)
+    np.testing.assert_array_equal(np.asarray(gids), np.asarray(eidx))
+    np.testing.assert_allclose(
+        -np.asarray(vals), np.asarray(_ed), atol=1e-4
+    )
+
+
+def test_route_queries_selective_destinations():
+    # queries visit only shard owning their true nearest neighbor -> still hit
+    mesh = make_mesh((1, 8), axis_names=("dp", "mp"))
+    S = 8
+    n, q, d = 16 * S, 2 * S, 6
+    corpus = RNG.normal(size=(n, d)).astype(np.float32)
+    # queries = tiny perturbations of known corpus rows
+    target_rows = RNG.choice(n, size=q, replace=False)
+    queries = corpus[target_rows] + 1e-4 * RNG.normal(size=(q, d)).astype(np.float32)
+    n_loc = n // S
+    owner = target_rows // n_loc
+    dest = np.zeros((q, S), bool)
+    dest[np.arange(q), owner] = True
+    vals, gids = route_queries_by_bucket(
+        mesh,
+        jnp.asarray(queries),
+        jnp.asarray(dest),
+        jnp.asarray(corpus),
+        jnp.arange(n, dtype=jnp.int32),
+        "euclidean",
+        k=1,
+        cap=q,
+    )
+    np.testing.assert_array_equal(np.asarray(gids)[:, 0], target_rows)
