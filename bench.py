@@ -1,4 +1,4 @@
-"""Benchmark: sharded-LSH retrieval recall@10 + queries/s/chip on synthetic
+"""Benchmark: LSH retrieval recall@10 + queries/s/chip on synthetic
 embeddings (BASELINE.json config 3: single-chip batched LSH vs exact NN).
 
 Prints exactly ONE JSON line:
@@ -10,14 +10,20 @@ reference itself publishes no numbers (its oracle functions are never called
 by main — /root/reference/lib/utils.hpp:107-140), so vs_baseline is measured
 against that target.
 
-Environment knobs: BENCH_N (corpus rows, default 2,000,000), BENCH_D (dims,
-default 128), BENCH_Q (queries, default 8192), BENCH_ORACLE_Q (queries used
-for the exact-NN recall check, default 1024).
+Timing methodology: every jitted path is warmed up (compile excluded), and
+each timed repetition ends with a scalar host read so asynchronous dispatch
+(and the remote-execution tunnel on this testbed) cannot under-report.
+
+Environment knobs: BENCH_N (corpus rows, default 2,000,000), BENCH_D (dims),
+BENCH_Q (queries), BENCH_ORACLE_Q (queries for the exact-NN recall check),
+BENCH_LSH_K (default auto: buckets sized so the per-table gather window
+covers an average bucket), BENCH_LSH_L, BENCH_BUDGET.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -27,9 +33,23 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-bench")
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def timed(fn, reps: int = 5):
+    """Median wall-clock of fn(), forcing a host sync per rep."""
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        # scalar host read defeats async dispatch under-reporting
+        jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
 
 
 def main() -> None:
@@ -37,16 +57,21 @@ def main() -> None:
     D = int(os.environ.get("BENCH_D", 128))
     Q = int(os.environ.get("BENCH_Q", 8192))
     OQ = int(os.environ.get("BENCH_ORACLE_Q", 1024))
-    K = int(os.environ.get("BENCH_LSH_K", 10))
     L = int(os.environ.get("BENCH_LSH_L", 8))
     BUDGET = int(os.environ.get("BENCH_BUDGET", 1024))
+    # Auto-size k: 2^k buckets such that an average bucket fits one
+    # per-table gather window (budget / L) — no truncation in the common
+    # case, so recall is governed by hash collisions, not windowing.
+    k_auto = max(8, math.ceil(math.log2(max(2, N / max(1, BUDGET // L)))))
+    K = int(os.environ.get("BENCH_LSH_K", k_auto))
     TOPK = 10
 
     from crypto_rec_tpu.models.lsh.index import build_index, candidate_ids
     from crypto_rec_tpu.ops.oracle import exact_nearest, recall_at_k
 
     dev = jax.devices()[0]
-    log(f"device: {dev} platform={dev.platform}")
+    log(f"device: {dev} platform={dev.platform}  N={N} D={D} Q={Q} "
+        f"K={K} L={L} budget={BUDGET}")
     key = jax.random.PRNGKey(0)
 
     # Clustered synthetic corpus (LSH shines on structured data; pure
@@ -63,30 +88,28 @@ def main() -> None:
     queries = corpus[:Q] + 0.05 * jax.random.normal(kb, (Q, D), jnp.float32)
     queries = jax.block_until_ready(queries)
 
-    # ---- index build ----
-    t0 = time.perf_counter()
-    index = build_index(
-        jax.random.PRNGKey(1), corpus, "cosine", K, L,
-        lsh_bucket_div=4, euclidean_h_w=1.0,
-    )
-    jax.block_until_ready(index.bucket_starts)
-    build_s = time.perf_counter() - t0
-    log(f"index build ({L} tables x 2^{K} buckets): {build_s:.2f}s "
-        f"({N / build_s / 1e6:.2f}M rows/s)")
+    # ---- index build: warm (compile) then timed ----
+    def do_build(seed):
+        return build_index(
+            jax.random.PRNGKey(seed), corpus, "cosine", K, L,
+            lsh_bucket_div=4, euclidean_h_w=1.0,
+        )
 
-    # ---- query warm-up + timed run ----
-    ids = candidate_ids(index, queries, budget=BUDGET)
-    jax.block_until_ready(ids)
     t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        ids = candidate_ids(index, queries, budget=BUDGET)
-    jax.block_until_ready(ids)
-    query_s = (time.perf_counter() - t0) / reps
+    index = do_build(1)
+    jax.block_until_ready(index.bucket_starts)
+    log(f"index build cold (incl. compile): {time.perf_counter() - t0:.2f}s")
+    build_s = timed(lambda: jax.block_until_ready(do_build(1).bucket_starts), reps=3)
+    log(f"index build warm: {build_s:.3f}s ({N / build_s / 1e6:.2f}M rows/s)")
+
+    # ---- retrieval QPS ----
+    jax.block_until_ready(candidate_ids(index, queries, budget=BUDGET))  # warm
+    query_s = timed(lambda: candidate_ids(index, queries, budget=BUDGET), reps=5)
     qps = Q / query_s
     log(f"retrieval: {Q} queries in {query_s * 1e3:.1f} ms -> {qps:,.0f} q/s/chip")
 
     # ---- recall vs exact oracle on a subsample ----
+    ids = candidate_ids(index, queries, budget=BUDGET)
     t0 = time.perf_counter()
     _d, true_idx = exact_nearest(queries[:OQ], corpus, "cosine", TOPK, block_rows=128)
     jax.block_until_ready(true_idx)
@@ -101,8 +124,11 @@ def main() -> None:
         "vs_baseline": round(recall / 0.95, 4),
         "qps_per_chip": round(qps, 1),
         "index_build_s": round(build_s, 3),
+        "index_rows_per_s": round(N / build_s, 1),
         "corpus_rows": N,
         "dim": D,
+        "lsh_k": K,
+        "lsh_tables": L,
         "candidate_budget": BUDGET,
         "platform": dev.platform,
     }))

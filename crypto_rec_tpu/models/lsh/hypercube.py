@@ -131,7 +131,9 @@ def cube_candidate_ids(
     """CSR fixed-budget probe: [q, d] -> [q, budget] row ids (-1 pad)."""
     qv = _vertex_ids(cube.metric, cube.k, cube.family, cube.mix_mul, cube.mix_add, queries)
     masks = jnp.asarray(hamming_probe_order(cube.k, probes))
-    per_probe = -(-budget // masks.shape[0])
+    # Any single probed vertex may supply the whole candidate budget (the
+    # reference unions whole buckets, lsh_cube.hpp:139-177).
+    per_probe = budget
     sentinel = cube.n_rows
 
     def per_query(v):

@@ -163,22 +163,58 @@ def _dedup_fixed(ids: jax.Array, sentinel: int, budget: int) -> jax.Array:
     return jnp.where(s == sentinel, -1, s)
 
 
-@functools.partial(jax.jit, static_argnames=("budget", "filtered"))
+def _dedup_rank_fixed(
+    ids: jax.Array, sentinel: int, budget: int, n_tables: int
+) -> jax.Array:
+    """Dedup + rank by multi-table collision count, truncate to budget.
+
+    When the union across tables exceeds the budget, keep the rows that
+    collided with the query in the MOST tables first — collision
+    multiplicity is a monotone proxy for similarity (the core multi-probe
+    LSH ranking trick), so budget truncation discards the least-promising
+    candidates instead of an arbitrary id-ordered suffix.
+    """
+    m = ids.shape[0]
+    s = jnp.sort(ids)
+    first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    seg = jnp.cumsum(first) - 1
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(s, jnp.float32), seg, num_segments=m
+    )
+    cnt = counts[seg]
+    valid_first = first & (s != sentinel)
+    # composite key: count desc, then row id asc (ties broken stably)
+    key = jnp.where(
+        valid_first,
+        (n_tables - cnt) + s.astype(jnp.float32) / jnp.float32(sentinel + 1),
+        jnp.inf,
+    )
+    order = jnp.argsort(key)[:budget]
+    return jnp.where(jnp.isfinite(key[order]), s[order], -1)
+
+
+@functools.partial(jax.jit, static_argnames=("budget", "filtered", "per_table"))
 def candidate_ids(
     index: LshIndex,
     queries: jax.Array,
     budget: int,
     filtered: bool = True,
+    per_table: int = 0,
 ) -> jax.Array:
     """CSR fixed-budget retrieval: [q, d] -> [q, budget] row ids (-1 pad).
 
-    Per query and table: window of up to ceil(budget / L) rows from the CSR
-    bucket slice, then a sort-dedup union across tables.  Truncation (bucket
-    larger than the window) is the static-shape tradeoff; recall-vs-budget is
+    Per query and table: a window of up to `per_table` rows from the CSR
+    bucket slice, then a sort-dedup union across tables truncated to
+    `budget`.  per_table defaults to `budget` — matching the reference
+    semantics where any single table's bucket may supply the entire
+    candidate set (get_LSH_combined_buckets unions whole buckets,
+    lsh_cube.hpp:77-106); pass a smaller per_table (e.g. budget // L) to
+    trade recall for gather bandwidth at very large L.  Truncation beyond
+    the window/budget is the static-shape tradeoff; recall-vs-budget is
     measured against the exact oracle.
     """
     L = index.bucket_ids.shape[1]
-    per_table = -(-budget // L)  # cdiv: union before dedup covers the budget
+    per_table = per_table or budget
     q_buckets, q_detailed = query_hashes(index, queries)
     sentinel = index.n_rows
 
@@ -186,13 +222,18 @@ def candidate_ids(
         def per_table_gather(l, b):
             start = index.bucket_starts[l, b]
             end = index.bucket_starts[l, b + 1]
-            # Stagger the window by table so that when several tables map the
-            # query to an identical member set (tightly clustered data), the
-            # union across tables covers up to L windows of the bucket
-            # instead of L copies of the same head.
-            base = jnp.minimum(
-                start + l * per_table, jnp.maximum(start, end - per_table)
-            )
+            size = end - start
+            # Buckets larger than the window are sampled at a pseudo-random
+            # offset derived from (bucket, table).  A fixed offset (e.g.
+            # always the head, or a per-table stagger) would make a given row
+            # depend on ONE specific table colliding — destroying the L-table
+            # redundancy LSH relies on.  Random offsets keep per-table
+            # coverage independent; buckets <= window are fully covered.
+            max_off = jnp.maximum(size - per_table, 0)
+            golden = jnp.int32(-1640531527)  # 0x9E3779B1 as signed int32
+            mix = (b * golden) ^ (jnp.int32(l) * jnp.int32(40503))
+            roff = jnp.remainder(jnp.abs(mix), max_off + 1)
+            base = start + roff
             offs = base + jnp.arange(per_table, dtype=jnp.int32)
             valid = offs < end
             rows = index.sorted_rows[l, jnp.minimum(offs, index.n_rows - 1)]
@@ -204,7 +245,7 @@ def candidate_ids(
         gathered = jnp.stack(
             [per_table_gather(l, qb[l]) for l in range(L)]
         ).reshape(-1)
-        return _dedup_fixed(gathered, sentinel, budget)
+        return _dedup_rank_fixed(gathered, sentinel, budget, L)
 
     if q_detailed is None:
         q_detailed = jnp.zeros((queries.shape[0], L, 1), jnp.int32)

@@ -156,14 +156,25 @@ def run_pipeline(
 
     # ---- Phase 1: ingest (main.cpp:120-137) ----
     with timer.phase("ingest"):
-        rows, p_header = read_str_vectors(
+        _rows_header, p_header = read_str_vectors(
             input_file, cfg.csv_delimiter, with_header_p=True
         )
         top_p = p_header if p_header else cfg.topP
         coin_rows, _ = read_str_vectors(cfg.query_file, cfg.csv_delimiter)
         coins = CoinTable.from_rows(coin_rows)
-        lexicon = read_lexicon(cfg.lexicon_file, cfg.csv_delimiter)
-        batch = score_tweets(rows, lexicon, coins)
+        batch = None
+        try:  # native C++ tokenizer fast path (identical semantics)
+            from crypto_rec_tpu.io.native import score_tweets_native
+
+            batch = score_tweets_native(
+                input_file, cfg.lexicon_file, cfg.query_file,
+                cfg.csv_delimiter, has_header=True,
+            )
+        except Exception as e:  # pragma: no cover - fallback path
+            log.info("native ingest unavailable (%s); using python path", e)
+        if batch is None:
+            lexicon = read_lexicon(cfg.lexicon_file, cfg.csv_delimiter)
+            batch = score_tweets(_rows_header, lexicon, coins)
         users = build_user_matrix(batch)
         # map phase-0 embeddings (one per tweet id) to clusters
         tweet_pos = {tid: i for i, tid in enumerate(batch.tweet_ids)}
