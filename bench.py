@@ -64,6 +64,10 @@ def main() -> None:
     # case, so recall is governed by hash collisions, not windowing.
     k_auto = max(8, math.ceil(math.log2(max(2, N / max(1, BUDGET // L)))))
     K = int(os.environ.get("BENCH_LSH_K", k_auto))
+    # Per-table gather window: ~4x the average bucket covers hot buckets
+    # while keeping the dedup sort (the QPS bottleneck) small.
+    pt_auto = min(BUDGET, max(128, 4 * N // (1 << K)))
+    PT = int(os.environ.get("BENCH_WINDOW", pt_auto))
     TOPK = 10
 
     from crypto_rec_tpu.models.lsh.index import build_index, candidate_ids
@@ -71,7 +75,7 @@ def main() -> None:
 
     dev = jax.devices()[0]
     log(f"device: {dev} platform={dev.platform}  N={N} D={D} Q={Q} "
-        f"K={K} L={L} budget={BUDGET}")
+        f"K={K} L={L} budget={BUDGET} window={PT}")
     key = jax.random.PRNGKey(0)
 
     # Clustered synthetic corpus (LSH shines on structured data; pure
@@ -103,13 +107,13 @@ def main() -> None:
     log(f"index build warm: {build_s:.3f}s ({N / build_s / 1e6:.2f}M rows/s)")
 
     # ---- retrieval QPS ----
-    jax.block_until_ready(candidate_ids(index, queries, budget=BUDGET))  # warm
-    query_s = timed(lambda: candidate_ids(index, queries, budget=BUDGET), reps=5)
+    jax.block_until_ready(candidate_ids(index, queries, budget=BUDGET, per_table=PT))  # warm
+    query_s = timed(lambda: candidate_ids(index, queries, budget=BUDGET, per_table=PT), reps=5)
     qps = Q / query_s
     log(f"retrieval: {Q} queries in {query_s * 1e3:.1f} ms -> {qps:,.0f} q/s/chip")
 
     # ---- recall vs exact oracle on a subsample ----
-    ids = candidate_ids(index, queries, budget=BUDGET)
+    ids = candidate_ids(index, queries, budget=BUDGET, per_table=PT)
     t0 = time.perf_counter()
     _d, true_idx = exact_nearest(queries[:OQ], corpus, "cosine", TOPK, block_rows=128)
     jax.block_until_ready(true_idx)
@@ -130,6 +134,7 @@ def main() -> None:
         "lsh_k": K,
         "lsh_tables": L,
         "candidate_budget": BUDGET,
+        "per_table_window": PT,
         "platform": dev.platform,
     }))
 

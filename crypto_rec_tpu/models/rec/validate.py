@@ -22,6 +22,7 @@ loops.  All folds share one jit cache entry (identical shapes).
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -33,17 +34,38 @@ from crypto_rec_tpu.models.rec.engine import RatingSet, recommend
 
 
 def hide_one_score(
-    key: jax.Array, ratings: jax.Array, known: jax.Array, c: int
+    key: jax.Array,
+    ratings: jax.Array,
+    known: jax.Array,
+    c: int,
+    hide_mode: str = "fixed",
 ) -> Tuple[RatingSet, jax.Array, jax.Array]:
     """Batched hide_one_score (crypto_rec.hpp:393-449).
 
     Returns (hidden RatingSet, hidden coin index [q], scoreable mask [q]).
     Scoreable: >= 2 known coins AND the remaining vector is not all-zero.
+
+    hide_mode:
+      "fixed"     — hide a uniformly random KNOWN coin (the intended
+                    semantics; our default).
+      "reference" — emulate the reference's index-conflation bug
+                    (crypto_rec.hpp:410-412): the random draw ranges over
+                    [0, known_count) but is then used as a COLUMN index, so
+                    an imputed (unknown) column can be "hidden", whose old
+                    value is just the user mean — biasing MAE low.  Used
+                    for apples-to-apples parity measurement only.
     """
     q = ratings.shape[0]
     known_counts = jnp.sum(known, axis=1)
-    logits = jnp.where(known, 0.0, -jnp.inf)
-    hide_idx = jax.random.categorical(key, logits, axis=1)         # [q]
+    if hide_mode == "reference":
+        u = jax.random.uniform(key, (q,))
+        hide_idx = jnp.floor(u * known_counts).astype(jnp.int32)
+        hide_idx = jnp.minimum(hide_idx, c - 1)
+    elif hide_mode == "fixed":
+        logits = jnp.where(known, 0.0, -jnp.inf)
+        hide_idx = jax.random.categorical(key, logits, axis=1)     # [q]
+    else:
+        raise ValueError(f"unknown hide_mode {hide_mode!r}")
     hide_oh = jax.nn.one_hot(hide_idx, c, dtype=bool)
 
     # unknown cells -> 0; then the hidden cell gets the mean of the rest.
@@ -66,6 +88,7 @@ def ten_fold_mae(
     lsh_bucket_div: int,
     euclidean_h_w: float,
     top_p: int,
+    hide_mode: str = "fixed",
 ) -> float:
     """Overall 10-fold CV MAE (main.cpp:393-437)."""
     n, c = users.ratings.shape
@@ -76,11 +99,11 @@ def ten_fold_mae(
     perm = np.asarray(jax.random.permutation(kperm, n))[: 10 * fold_size]
     folds = perm.reshape(10, fold_size)
 
-    @jax.jit
+    @functools.partial(jax.jit, static_argnames=())
     def one_fold(train: RatingSet, test: RatingSet, test_known, kidx):
         kfold, khide = jax.random.split(kidx)
         hidden, hide_idx, scoreable = hide_one_score(
-            khide, test.ratings, test_known, c
+            khide, test.ratings, test_known, c, hide_mode=hide_mode
         )
         index = build_index(
             kfold, train.ratings, metric, k, L, lsh_bucket_div, euclidean_h_w
