@@ -64,9 +64,9 @@ def main() -> None:
     # case, so recall is governed by hash collisions, not windowing.
     k_auto = max(8, math.ceil(math.log2(max(2, N / max(1, BUDGET // L)))))
     K = int(os.environ.get("BENCH_LSH_K", k_auto))
-    # Per-table gather window: ~4x the average bucket covers hot buckets
+    # Per-table gather window: ~2x the average bucket covers hot buckets
     # while keeping the dedup sort (the QPS bottleneck) small.
-    pt_auto = min(BUDGET, max(128, 4 * N // (1 << K)))
+    pt_auto = min(BUDGET, max(128, 2 * N // (1 << K)))
     PT = int(os.environ.get("BENCH_WINDOW", pt_auto))
     TOPK = 10
 
@@ -79,9 +79,12 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
 
     # Clustered synthetic corpus (LSH shines on structured data; pure
-    # isotropic noise has no neighbors to find).
+    # isotropic noise has no neighbors to find).  Centers scale with N so a
+    # cluster stays ~128 points — thousands of near-duplicates per center
+    # would turn the top-10 task into budget-bound needle-picking among
+    # equidistant rows, which no ANN structure (or real corpus) exhibits.
     kc, kp, kq, kb = jax.random.split(key, 4)
-    n_centers = 1024
+    n_centers = max(1024, N // 128)
     centers = jax.random.normal(kc, (n_centers, D), jnp.float32) * 2.0
     t0 = time.perf_counter()
     assign = jax.random.randint(kp, (N,), 0, n_centers)

@@ -213,15 +213,35 @@ def candidate_ids(
     the window/budget is the static-shape tradeoff; recall-vs-budget is
     measured against the exact oracle.
     """
-    L = index.bucket_ids.shape[1]
-    per_table = per_table or budget
     q_buckets, q_detailed = query_hashes(index, queries)
-    sentinel = index.n_rows
+    return gather_candidate_ids(
+        index.sorted_rows, index.bucket_starts,
+        index.detailed if filtered else None,
+        index.n_rows, q_buckets, q_detailed, budget, per_table,
+    )
+
+
+def gather_candidate_ids(
+    sorted_rows: jax.Array,     # [L, n] CSR member arrays
+    bucket_starts: jax.Array,   # [L, nb + 1]
+    detailed: Optional[jax.Array],   # [n, L, k] or None (no filtering)
+    n_rows: int,
+    q_buckets: jax.Array,       # [q, L]
+    q_detailed: Optional[jax.Array],  # [q, L, k] or None
+    budget: int,
+    per_table: int = 0,
+) -> jax.Array:
+    """Raw-array core of candidate_ids — shared by the local and the
+    mp-sharded index (parallel/sharded_index.py runs it per shard inside a
+    shard_map with shard-local arrays)."""
+    L = sorted_rows.shape[0]
+    per_table = per_table or budget
+    sentinel = n_rows
 
     def per_query(qb, qd):
         def per_table_gather(l, b):
-            start = index.bucket_starts[l, b]
-            end = index.bucket_starts[l, b + 1]
+            start = bucket_starts[l, b]
+            end = bucket_starts[l, b + 1]
             size = end - start
             # Buckets larger than the window are sampled at a pseudo-random
             # offset derived from (bucket, table).  A fixed offset (e.g.
@@ -236,9 +256,9 @@ def candidate_ids(
             base = start + roff
             offs = base + jnp.arange(per_table, dtype=jnp.int32)
             valid = offs < end
-            rows = index.sorted_rows[l, jnp.minimum(offs, index.n_rows - 1)]
-            if filtered and index.detailed is not None:
-                tuple_ok = jnp.all(index.detailed[rows, l, :] == qd[l][None, :], axis=-1)
+            rows = sorted_rows[l, jnp.minimum(offs, n_rows - 1)]
+            if detailed is not None:
+                tuple_ok = jnp.all(detailed[rows, l, :] == qd[l][None, :], axis=-1)
                 valid = valid & tuple_ok
             return jnp.where(valid, rows, sentinel)
 
@@ -248,7 +268,7 @@ def candidate_ids(
         return _dedup_rank_fixed(gathered, sentinel, budget, L)
 
     if q_detailed is None:
-        q_detailed = jnp.zeros((queries.shape[0], L, 1), jnp.int32)
+        q_detailed = jnp.zeros((q_buckets.shape[0], L, 1), jnp.int32)
     return jax.vmap(per_query)(q_buckets, q_detailed)
 
 
