@@ -272,6 +272,115 @@ def gather_candidate_ids(
     return jax.vmap(per_query)(q_buckets, q_detailed)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("top_k", "per_table", "filtered", "q_block")
+)
+def retrieve_topk(
+    index: LshIndex,
+    queries: jax.Array,   # [q, d]
+    corpus: jax.Array,    # [n, d] — the indexed rows themselves
+    top_k: int,
+    per_table: int = 256,
+    filtered: bool = True,
+    q_block: int = 256,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused end-to-end retrieval: bucket gather -> score -> top-k.
+
+    -> (scores [q, top_k] descending, row ids [q, top_k], -1 pad).  Scores
+    are cosine similarity / negated euclidean distance (nearest-first).
+
+    Unlike candidate_ids (which must produce a deduplicated candidate SET
+    for the CF engine's weighted sums), this path scores the raw per-table
+    windows — duplicates included — and dedups only the top L*top_k
+    survivors.  That removes the O(L * window * log) dedup sort per query,
+    the QPS bottleneck of the set-producing path, while returning the
+    identical top-k (a duplicate can only displace copies of itself).
+
+    Queries stream through lax.map in blocks of `q_block` so the gathered
+    candidate tensor ([block, L*per_table, d]) stays bounded regardless of
+    the batch size (8192 queries x 8 tables x 976-window x 128-d f32 would
+    otherwise be a 32 GiB allocation).
+    """
+    q = queries.shape[0]
+    pad_q = (-q) % q_block
+    queries_p = jnp.pad(queries, ((0, pad_q), (0, 0)))
+    vals, ids = jax.lax.map(
+        lambda blk: _retrieve_topk_block(
+            index, blk, corpus, top_k, per_table, filtered
+        ),
+        queries_p.reshape(-1, q_block, queries.shape[1]),
+    )
+    return (
+        vals.reshape(-1, top_k)[:q],
+        ids.reshape(-1, top_k)[:q],
+    )
+
+
+def _retrieve_topk_block(
+    index: LshIndex,
+    queries: jax.Array,
+    corpus: jax.Array,
+    top_k: int,
+    per_table: int,
+    filtered: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    L = index.bucket_ids.shape[1]
+    q_buckets, q_detailed = query_hashes(index, queries)
+    sentinel = index.n_rows
+
+    def per_query(qvec, qb, qd):
+        def per_table_gather(l, b):
+            start = index.bucket_starts[l, b]
+            end = index.bucket_starts[l, b + 1]
+            size = end - start
+            max_off = jnp.maximum(size - per_table, 0)
+            golden = jnp.int32(-1640531527)
+            mix = (b * golden) ^ (jnp.int32(l) * jnp.int32(40503))
+            roff = jnp.remainder(jnp.abs(mix), max_off + 1)
+            offs = start + roff + jnp.arange(per_table, dtype=jnp.int32)
+            valid = offs < end
+            rows = index.sorted_rows[l, jnp.minimum(offs, index.n_rows - 1)]
+            if filtered and index.detailed is not None:
+                ok = jnp.all(index.detailed[rows, l, :] == qd[l][None, :], axis=-1)
+                valid = valid & ok
+            return jnp.where(valid, rows, sentinel)
+
+        ids = jnp.stack(
+            [per_table_gather(l, qb[l]) for l in range(L)]
+        ).reshape(-1)                                      # [L * per_table]
+        valid = ids < sentinel
+        safe = jnp.minimum(ids, index.n_rows - 1)
+        cand = corpus[safe]                                # [m, d]
+        if index.metric == "cosine":
+            dots = cand @ qvec
+            cn = jnp.sqrt(jnp.sum(cand * cand, axis=1))
+            qn = jnp.sqrt(jnp.sum(qvec * qvec))
+            score = dots / jnp.maximum(cn * qn, 1e-30)
+        else:
+            diff = cand - qvec[None, :]
+            score = -jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=1), 0.0))
+        score = jnp.where(valid, score, -jnp.inf)
+
+        # stage 1: top L*top_k with duplicates; stage 2: dedup + final top-k
+        m1 = min(L * top_k, score.shape[0])
+        s1, pos1 = jax.lax.top_k(score, m1)
+        ids1 = safe[pos1]
+        order = jnp.argsort(ids1)
+        ids_sorted = ids1[order]
+        s_sorted = s1[order]
+        dup = jnp.concatenate(
+            [jnp.zeros((1,), bool), ids_sorted[1:] == ids_sorted[:-1]]
+        )
+        s_sorted = jnp.where(dup | ~jnp.isfinite(s_sorted), -jnp.inf, s_sorted)
+        s2, pos2 = jax.lax.top_k(s_sorted, top_k)
+        out_ids = jnp.where(s2 > -jnp.inf, ids_sorted[pos2], -1)
+        return s2, out_ids
+
+    if q_detailed is None:
+        q_detailed = jnp.zeros((queries.shape[0], L, 1), jnp.int32)
+    return jax.vmap(per_query)(queries, q_buckets, q_detailed)
+
+
 def mask_from_candidate_ids(ids: jax.Array, n_rows: int) -> jax.Array:
     """[q, budget] id lists -> dense [q, n] bool mask (for engines that want
     the mask form; -1 entries are ignored)."""

@@ -108,6 +108,31 @@ def recommend(
     )
 
 
+def recommend_topk_retrieved(
+    queries: RatingSet,
+    neighbors: RatingSet,
+    sims: jax.Array,          # [q, P] descending neighbor similarities
+    neighbor_idx: jax.Array,  # [q, P] row ids (-1 pad), e.g. from
+                              # models.lsh.index.retrieve_topk on the
+                              # neighbor rating rows
+    top_n: int,
+) -> Recommendation:
+    """CF scoring over pre-retrieved unique neighbors (the fused-retrieval
+    form of get_P_closest + get_top_N_recom)."""
+    valid = neighbor_idx >= 0
+    idx = jnp.maximum(neighbor_idx, 0) * valid
+    predicted = predict_scores(queries, neighbors, sims, idx, valid)
+    top = topn_indices(predicted, ~queries.known, top_n)
+    return Recommendation(
+        predicted=predicted,
+        top_n=top,
+        has_neighbors=jnp.any(valid, axis=1),
+        sims=jnp.where(valid, sims, -jnp.inf),
+        neighbor_idx=neighbor_idx,
+        neighbor_valid=valid,
+    )
+
+
 def recommend_from_ids(
     queries: RatingSet,
     neighbors: RatingSet,

@@ -1,0 +1,88 @@
+"""Fused retrieve_topk: equals scoring the deduplicated candidate set."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from crypto_rec_tpu.models.lsh.index import (
+    build_index,
+    candidate_ids,
+    retrieve_topk,
+)
+from crypto_rec_tpu.ops.oracle import exact_nearest, recall_at_k
+
+RNG = np.random.default_rng(41)
+KEY = jax.random.PRNGKey(11)
+
+
+def _clustered(n, d, n_centers=16, spread=0.1):
+    centers = RNG.normal(size=(n_centers, d)).astype(np.float32) * 4
+    return (
+        centers[RNG.integers(0, n_centers, size=n)]
+        + spread * RNG.normal(size=(n, d)).astype(np.float32)
+    ).astype(np.float32)
+
+
+def _topk_from_candidates(x, ids, metric, k):
+    """Oracle: brute-force score the deduplicated candidate set (float64)."""
+    x64 = np.asarray(x, np.float64)
+    out_ids = np.full((ids.shape[0], k), -1, np.int64)
+    out_scores = np.full((ids.shape[0], k), -np.inf, np.float64)
+    for qi in range(ids.shape[0]):
+        cand = sorted(set(int(i) for i in ids[qi] if i >= 0))
+        if metric == "cosine":
+            score = {
+                c: float(
+                    x64[qi] @ x64[c]
+                    / (np.linalg.norm(x64[qi]) * np.linalg.norm(x64[c]))
+                )
+                for c in cand
+            }
+        else:
+            score = {c: -float(np.linalg.norm(x64[qi] - x64[c])) for c in cand}
+        best = sorted(cand, key=lambda c: (-score[c], c))[:k]
+        for j, c in enumerate(best):
+            out_ids[qi, j] = c
+            out_scores[qi, j] = score[c]
+    return out_scores, out_ids
+
+
+def test_retrieve_topk_matches_candidate_scoring():
+    for metric in ("cosine", "euclidean"):
+        x = jnp.asarray(_clustered(256, 12))
+        idx = build_index(KEY, x, metric, k=4, L=4, lsh_bucket_div=8, euclidean_h_w=3.0)
+        # same windows for both paths: per_table = 256 covers everything
+        ids = np.asarray(candidate_ids(idx, x, budget=256, per_table=256))
+        want_s, want_i = _topk_from_candidates(np.asarray(x), ids, metric, 5)
+        got_s, got_i = retrieve_topk(idx, x, x, top_k=5, per_table=256)
+        got_s, got_i = np.asarray(got_s), np.asarray(got_i)
+        # score sequences must agree (near-ties may permute ids between the
+        # two float paths, so ids are compared as sets)
+        mask = want_i >= 0
+        np.testing.assert_allclose(
+            got_s[mask], want_s[mask], atol=5e-3, err_msg=metric
+        )
+        for q in range(got_i.shape[0]):
+            want_set = set(want_i[q][want_i[q] >= 0].tolist())
+            got_set = set(got_i[q][got_i[q] >= 0].tolist())
+            assert len(want_set & got_set) >= len(want_set) - 1, (
+                metric, q, want_set, got_set
+            )
+
+
+def test_retrieve_topk_recall():
+    x = jnp.asarray(_clustered(2048, 24, n_centers=64))
+    idx = build_index(KEY, x, "cosine", k=7, L=8, lsh_bucket_div=4, euclidean_h_w=1.0)
+    _s, ids = retrieve_topk(idx, x, x, top_k=10, per_table=128)
+    _d, true_idx = exact_nearest(x, x, "cosine", 10)
+    r = float(recall_at_k(ids, true_idx))
+    assert r > 0.95, r
+
+
+def test_retrieve_topk_no_duplicate_ids():
+    x = jnp.asarray(_clustered(300, 8))
+    idx = build_index(KEY, x, "cosine", k=3, L=6, lsh_bucket_div=4, euclidean_h_w=1.0)
+    _s, ids = retrieve_topk(idx, x, x, top_k=20, per_table=128)
+    for row in np.asarray(ids):
+        real = row[row >= 0]
+        assert len(real) == len(set(real.tolist()))
