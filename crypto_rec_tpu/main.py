@@ -22,15 +22,27 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("-c", dest="config_file", default="./cluster.conf")
     p.add_argument("-validate", action="store_true", dest="validate")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="write a jax.profiler trace of the whole run to DIR",
+    )
     return p
 
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     cfg = load_config(args.config_file, RecConfig(seed=args.seed))
-    result = run_pipeline(
-        args.input_file, args.output_file, cfg, validate=args.validate
-    )
+    import contextlib
+
+    trace_ctx = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        trace_ctx = jax.profiler.trace(args.profile)
+    with trace_ctx:
+        result = run_pipeline(
+            args.input_file, args.output_file, cfg, validate=args.validate
+        )
     summary = {
         "phase_ms": result.phase_ms,
         "n_users": result.n_users,

@@ -85,18 +85,28 @@ def build_index(
     L: int,
     lsh_bucket_div: int,
     euclidean_h_w: float,
+    use_pallas: bool = False,
 ) -> LshIndex:
     """create_LSH_hashtables, batched (lsh_cube.hpp:44-74).
 
     Table sizing parity: euclidean tables have n / lsh_bucket_div buckets,
     cosine tables 2^k (lsh_cube.hpp:61-66).
+
+    use_pallas routes the cosine hash through the fused sign-projection
+    Pallas kernel (ops/pallas/signproj.py) — same bits, VMEM-resident
+    intermediate.
     """
     n = vectors.shape[0]
     d = vectors.shape[1]
     if metric == "cosine":
         fam = CosineLsh.create(key, d, k, L)
         n_buckets = fam.n_buckets
-        bucket_ids = fam.bucket_ids(vectors)
+        if use_pallas:
+            from crypto_rec_tpu.ops.pallas.signproj import signproj_bucket_ids
+
+            bucket_ids = signproj_bucket_ids(vectors, fam.proj, k, L)
+        else:
+            bucket_ids = fam.bucket_ids(vectors)
         detailed = None
     elif metric == "euclidean":
         fam = PStableLsh.create(key, d, k, L, euclidean_h_w)

@@ -62,7 +62,12 @@ def gather_bucket_windows(
     window: int,
     interpret: bool = False,
 ) -> jax.Array:
-    """-> [q, L, window] int32 row ids; invalid lanes = n (sentinel)."""
+    """-> [q, L, window] int32 row ids; invalid lanes = n (sentinel).
+
+    Precondition (CSR invariant): starts[i, l] + sizes[i, l] <= n — windows
+    never extend past their table.  Lanes beyond `sizes` may be DMA'd from
+    the next table's region but are always masked to the sentinel.
+    """
     L, n = sorted_rows.shape
     q = starts.shape[0]
     flat = sorted_rows.reshape(-1)

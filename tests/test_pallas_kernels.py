@@ -41,6 +41,7 @@ def test_gather_bucket_windows():
     )
     starts = jnp.asarray(RNG.integers(0, n, size=(q, L)).astype(np.int32))
     sizes = jnp.asarray(RNG.integers(0, W + 1, size=(q, L)).astype(np.int32))
+    sizes = jnp.minimum(sizes, n - starts)  # CSR invariant
     got = np.asarray(
         gather_bucket_windows(sorted_rows, starts, sizes, window=W, interpret=True)
     )
@@ -49,7 +50,7 @@ def test_gather_bucket_windows():
         for l in range(L):
             s, size = int(starts[i, l]), int(sizes[i, l])
             for w in range(W):
-                if w < size and s + w < n:
+                if w < size and s + w < n:  # CSR invariant: start+size<=n in real use
                     assert got[i, l, w] == rows[l, s + w]
                 else:
                     assert got[i, l, w] == n, (i, l, w, got[i, l, w])
