@@ -44,13 +44,32 @@ def initialize_multihost(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    retries: int = 3,
+    retry_delay_s: float = 5.0,
 ) -> None:
     """Multi-host init wrapper (jax.distributed) for N>=2 host configs
-    (BASELINE.json config 5).  No-op on a single host."""
+    (BASELINE.json config 5).  No-op on a single host.
+
+    Retries transient coordinator failures — the failure-detection scope
+    committed to in SURVEY.md §5 ("multi-host init retries only" for v0).
+    """
     if num_processes is None or num_processes <= 1:
         return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    import time
+
+    last_err = None
+    for attempt in range(retries):
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+            return
+        except Exception as e:  # pragma: no cover - needs real multi-host
+            last_err = e
+            if attempt + 1 < retries:
+                time.sleep(retry_delay_s * (attempt + 1))
+    raise RuntimeError(
+        f"jax.distributed.initialize failed after {retries} attempts"
+    ) from last_err
