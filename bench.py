@@ -105,11 +105,21 @@ def main() -> None:
         queries[:, None, :]
         + 0.15 * jax.random.normal(kn, (Q, TOPK, D), jnp.float32)
     ).reshape(Q * TOPK, D)
-    rest = centers[
-        jax.random.randint(kp, (N - Q * TOPK,), 0, n_centers)
-    ] + 0.3 * jax.random.normal(
-        jax.random.fold_in(kq, 1), (N - Q * TOPK, D), jnp.float32
-    )
+    # Chunked generation: the naive gather + noise + sum would hold three
+    # full-corpus f32 temporaries (~15 GiB at 10M x 128) — lax.map keeps
+    # temporaries chunk-sized.
+    n_rest = N - Q * TOPK
+    chunk = 1 << 19
+    n_chunks = -(-n_rest // chunk)
+
+    def gen_chunk(ck):
+        ka, kb2 = jax.random.split(ck)
+        idx = jax.random.randint(ka, (chunk,), 0, n_centers)
+        return centers[idx] + 0.3 * jax.random.normal(kb2, (chunk, D), jnp.float32)
+
+    rest = jax.lax.map(
+        gen_chunk, jax.random.split(jax.random.fold_in(kq, 1), n_chunks)
+    ).reshape(-1, D)[:n_rest]
     corpus = jnp.concatenate([planted, rest])
     corpus = jax.block_until_ready(corpus)
     queries = jax.block_until_ready(queries)

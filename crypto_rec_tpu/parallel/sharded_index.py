@@ -205,3 +205,113 @@ def sharded_retrieve_topk(
 
 def shard_corpus(mesh: Mesh, corpus: jax.Array) -> jax.Array:
     return jax.device_put(corpus, NamedSharding(mesh, P("mp", None)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "budget", "per_table", "top_p", "top_n", "filtered"),
+)
+def sharded_recommend_csr(
+    mesh: Mesh,
+    index: ShardedLshIndex,
+    q_ratings: jax.Array,   # [q, c] replicated
+    q_known: jax.Array,     # [q, c]
+    q_mean: jax.Array,      # [q]
+    n_ratings: jax.Array,   # [n, c] row-sharded over "mp" (the indexed rows)
+    n_mean: jax.Array,      # [n]    row-sharded
+    budget: int,
+    top_p: int,
+    top_n: int,
+    per_table: int = 0,
+    filtered: bool = True,
+):
+    """Pod-scale collaborative filtering over the sharded CSR index.
+
+    Per mp shard: local bucket gather -> cosine vs local rating rows ->
+    local top-P (weights + the P selected rating rows + means) -> all_gather
+    merge -> mean-centered prediction -> top-N unknown coins.  The full CF
+    pipeline of models/rec/engine.py at 10^8+-row index scale; collectives
+    carry O(top_p * (c + 2)) floats per query.
+
+    Returns (predicted [q, c], top_n [q, top_n], has_neighbors [q],
+    sims [q, top_p], global neighbor ids [q, top_p]).
+    """
+    metric = index.metric
+    fam = index.family
+    n_local = index.n_local
+    eps = 1e-30
+
+    def body(rows, starts, det, nr_blk, nm_blk):
+        if metric == "cosine":
+            qb = fam.bucket_ids(q_ratings)
+            qd = None
+        else:
+            qd = fam.hash_values(q_ratings)
+            qb = fam.bucket_ids_from_hashes(qd, index.n_buckets)
+        det_l = det[0] if (filtered and det is not None) else None
+        local_ids = gather_candidate_ids(
+            rows[0], starts[0], det_l, n_local, qb, qd, budget, per_table
+        )
+        valid = local_ids >= 0
+        safe = jnp.maximum(local_ids, 0)
+        cand = nr_blk[safe]                                # [q, B, c]
+        dots = jnp.einsum(
+            "qc,qbc->qb", q_ratings, cand, preferred_element_type=jnp.float32
+        )
+        qn = jnp.linalg.norm(q_ratings, axis=1, keepdims=True)
+        cn = jnp.linalg.norm(cand, axis=2)
+        sims = jnp.where(valid, dots / jnp.maximum(qn * cn, eps), -jnp.inf)
+
+        loc_vals, slot = jax.lax.top_k(sims, top_p)
+        loc_idx = jnp.take_along_axis(safe, slot, axis=1)
+        loc_valid = loc_vals > -jnp.inf
+        sel_r = nr_blk[loc_idx * loc_valid]                # [q, P, c]
+        sel_mu = nm_blk[loc_idx * loc_valid]
+        shard = jax.lax.axis_index("mp")
+        gids = jnp.where(loc_valid, loc_idx + shard * n_local, -1)
+
+        Sn = jax.lax.axis_size("mp")
+        qn_ = q_ratings.shape[0]
+        g_vals = jax.lax.all_gather(loc_vals, "mp", axis=1).reshape(qn_, -1)
+        g_r = jax.lax.all_gather(sel_r, "mp", axis=1).reshape(qn_, Sn * top_p, -1)
+        g_mu = jax.lax.all_gather(sel_mu, "mp", axis=1).reshape(qn_, -1)
+        g_gid = jax.lax.all_gather(gids, "mp", axis=1).reshape(qn_, -1)
+
+        top_vals, pos = jax.lax.top_k(g_vals, top_p)
+        top_valid = top_vals > -jnp.inf
+        w = jnp.where(top_valid, top_vals, 0.0)
+        top_r = jnp.take_along_axis(g_r, pos[:, :, None], axis=1)
+        top_mu = jnp.take_along_axis(g_mu, pos, axis=1)
+        top_gid = jnp.take_along_axis(g_gid, pos, axis=1)
+
+        abs_sum = jnp.sum(jnp.abs(w), axis=1)
+        centered = (top_r - top_mu[:, :, None]) * top_valid[:, :, None]
+        main_sum = jnp.einsum(
+            "qp,qpc->qc", w, centered, preferred_element_type=jnp.float32
+        )
+        delta = main_sum / jnp.maximum(abs_sum, eps)[:, None]
+        pred_unknown = q_mean[:, None] + jnp.where(
+            (abs_sum > 0.0)[:, None], delta, 0.0
+        )
+        predicted = jnp.where(q_known, q_ratings, pred_unknown)
+        from crypto_rec_tpu.ops.topk import topn_indices
+
+        top = topn_indices(predicted, ~q_known, top_n)
+        return predicted, top, jnp.any(top_valid, axis=1), top_vals, top_gid
+
+    in_specs = [P("mp", None, None), P("mp", None, None)]
+    args = [index.sorted_rows, index.bucket_starts]
+    if index.detailed is not None:
+        in_specs.append(P("mp", None, None, None))
+        args.append(index.detailed)
+        fn = body
+    else:
+        def fn(rows, starts, nr_blk, nm_blk):
+            return body(rows, starts, None, nr_blk, nm_blk)
+    in_specs += [P("mp", None), P("mp")]
+    args += [n_ratings, n_mean]
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=tuple(in_specs),
+        out_specs=(P(None, None),) * 2 + (P(None),) + (P(None, None),) * 2,
+        check_vma=False,
+    )(*args)

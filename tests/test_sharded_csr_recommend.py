@@ -1,0 +1,65 @@
+"""Pod-scale CF over the sharded CSR index vs the single-device engine."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from crypto_rec_tpu.models.lsh.index import build_index, candidate_mask
+from crypto_rec_tpu.models.rec.engine import RatingSet, recommend
+from crypto_rec_tpu.parallel.mesh import make_mesh
+from crypto_rec_tpu.parallel.sharded_index import (
+    build_sharded_index,
+    sharded_recommend_csr,
+    shard_corpus,
+)
+
+RNG = np.random.default_rng(71)
+KEY = jax.random.PRNGKey(21)
+
+
+def _ratings(n, c, seed):
+    rng = np.random.default_rng(seed)
+    known = rng.random((n, c)) < 0.6
+    known[np.arange(n), rng.integers(0, c, n)] = True
+    raw = np.abs(rng.normal(size=(n, c))).astype(np.float32) * known
+    mean = (raw * known).sum(1) / known.sum(1)
+    ratings = np.where(known, raw, mean[:, None]).astype(np.float32)
+    return ratings, known, mean.astype(np.float32)
+
+
+def test_sharded_csr_recommend_matches_dense_engine():
+    mesh = make_mesh((1, 8))
+    n, c, q = 8 * 16, 12, 24
+    nr, nk, nm = _ratings(n, c, seed=1)
+    qr, qk, qm = _ratings(q, c, seed=2)
+    queries = RatingSet(jnp.asarray(qr), jnp.asarray(qk), jnp.asarray(qm))
+    neighbors = RatingSet(jnp.asarray(nr), jnp.asarray(nk), jnp.asarray(nm))
+
+    # single-device reference: dense mask from an equivalently-built index
+    # (same key => same hyperplanes => same buckets)
+    local = build_index(KEY, neighbors.ratings, "cosine", 4, 4, 4, 1.0)
+    mask = candidate_mask(local, queries.ratings)
+    want = recommend(queries, neighbors, mask, top_p=6, top_n=3)
+
+    sharded = build_sharded_index(
+        mesh, KEY, shard_corpus(mesh, neighbors.ratings), "cosine", 4, 4
+    )
+    # generous budget/window: every bucket fully covered -> identical
+    # candidate sets -> identical predictions
+    pred, top, has, sims, gids = sharded_recommend_csr(
+        mesh, sharded,
+        queries.ratings, queries.known, queries.mean,
+        shard_corpus(mesh, neighbors.ratings),
+        jax.device_put(
+            neighbors.mean,
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("mp")),
+        ),
+        budget=n, top_p=6, top_n=3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pred), np.asarray(want.predicted), atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(top), np.asarray(want.top_n))
+    np.testing.assert_array_equal(
+        np.asarray(has), np.asarray(want.has_neighbors)
+    )
