@@ -141,8 +141,10 @@ def main() -> None:
     index = do_build(1)
     jax.block_until_ready(index.bucket_starts)
     log(f"index build cold (incl. compile): {time.perf_counter() - t0:.2f}s")
+    del index  # don't hold a live index while timing fresh builds
     build_s = timed(lambda: jax.block_until_ready(do_build(1).bucket_starts), reps=3)
     log(f"index build warm: {build_s:.3f}s ({N / build_s / 1e6:.2f}M rows/s)")
+    index = do_build(1)
 
     # ---- retrieval QPS ----
     jax.block_until_ready(candidate_ids(index, queries, budget=BUDGET, per_table=PT))  # warm

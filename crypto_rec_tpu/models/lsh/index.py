@@ -95,9 +95,21 @@ def build_index(
     use_pallas routes the cosine hash through the fused sign-projection
     Pallas kernel (ops/pallas/signproj.py) — same bits, VMEM-resident
     intermediate.
+
+    Hashing streams row chunks through lax.map so the [n, L*k] projection
+    temporary never materializes (4+ GiB at 10M rows) — only the packed
+    int32 outputs persist.
     """
     n = vectors.shape[0]
     d = vectors.shape[1]
+    chunk = 1 << 18
+
+    def chunked(fn, out_cols_shape):
+        pad = (-n) % chunk
+        xp = jnp.pad(vectors, ((0, pad), (0, 0)))
+        out = jax.lax.map(fn, xp.reshape(-1, chunk, d))
+        return out.reshape((xp.shape[0],) + out_cols_shape)[:n]
+
     if metric == "cosine":
         fam = CosineLsh.create(key, d, k, L)
         n_buckets = fam.n_buckets
@@ -106,12 +118,12 @@ def build_index(
 
             bucket_ids = signproj_bucket_ids(vectors, fam.proj, k, L)
         else:
-            bucket_ids = fam.bucket_ids(vectors)
+            bucket_ids = chunked(fam.bucket_ids, (L,))
         detailed = None
     elif metric == "euclidean":
         fam = PStableLsh.create(key, d, k, L, euclidean_h_w)
         n_buckets = max(1, n // max(1, lsh_bucket_div))
-        detailed = fam.hash_values(vectors)
+        detailed = chunked(fam.hash_values, (L, k))
         bucket_ids = fam.bucket_ids_from_hashes(detailed, n_buckets)
     else:
         raise ValueError(f"unknown metric {metric!r}")
