@@ -70,7 +70,9 @@ def main() -> None:
     pt_auto = min(BUDGET, max(128, 2 * N // (1 << K)))
     PT = int(os.environ.get("BENCH_WINDOW", pt_auto))
     TOPK = 10
-    BF16 = os.environ.get("BENCH_BF16", "1") == "1"
+    # bf16 scoring needs a second corpus copy; above ~4M rows the f32 + bf16
+    # pair plus oracle blocks would crowd a 16 GiB chip
+    BF16 = os.environ.get("BENCH_BF16", "1" if N <= 4_000_000 else "0") == "1"
 
     from crypto_rec_tpu.models.lsh.index import (
         build_index,

@@ -26,6 +26,10 @@ def build_argparser() -> argparse.ArgumentParser:
         "--profile", default=None, metavar="DIR",
         help="write a jax.profiler trace of the whole run to DIR",
     )
+    p.add_argument(
+        "--silhouette", action="store_true",
+        help="evaluate cluster silhouettes in the clustering phases",
+    )
     return p
 
 
@@ -41,7 +45,8 @@ def main(argv=None) -> int:
         trace_ctx = jax.profiler.trace(args.profile)
     with trace_ctx:
         result = run_pipeline(
-            args.input_file, args.output_file, cfg, validate=args.validate
+            args.input_file, args.output_file, cfg,
+            validate=args.validate, with_silhouette=args.silhouette,
         )
     summary = {
         "phase_ms": result.phase_ms,
@@ -50,6 +55,8 @@ def main(argv=None) -> int:
     }
     if result.mae is not None:
         summary["mae_10fold"] = result.mae
+    if result.silhouettes is not None:
+        summary["silhouettes"] = result.silhouettes
     print(json.dumps(summary))
     return 0
 

@@ -51,6 +51,7 @@ class PipelineResult:
     mae: Optional[float]
     n_users: int
     n_fake_users: int
+    silhouettes: Optional[Dict[str, float]] = None  # phase -> global mean
 
 
 def _write_phase(
@@ -96,6 +97,7 @@ def cluster_phase(
     top_n: int,
     init: str,
     self_cluster: bool,
+    with_silhouette: bool = False,
 ):
     """One clustering recommendation phase.
 
@@ -123,7 +125,21 @@ def cluster_phase(
 
         q_labels, _ = lloyd_assign(queries.ratings, km.centroids, "euclidean")
     mask = q_labels[:, None] == km.labels[None, :]
-    return recommend(queries, member_set, mask, top_p=member_set.ratings.shape[0], top_n=top_n)
+    rec = recommend(
+        queries, member_set, mask, top_p=member_set.ratings.shape[0], top_n=top_n
+    )
+    sil = None
+    if with_silhouette:
+        # the reference ships silhouette but leaves the calls commented out
+        # (main.cpp:106,257) — here it's a flag
+        from crypto_rec_tpu.models.cluster.silhouette import silhouette
+
+        sil = float(
+            silhouette(
+                member_set.ratings, km.labels, km.centroids, k_clusters, "euclidean"
+            )[-1]
+        )
+    return rec, sil
 
 
 def run_pipeline(
@@ -131,6 +147,7 @@ def run_pipeline(
     output_file: str,
     cfg: RecConfig,
     validate: bool = False,
+    with_silhouette: bool = False,
 ) -> PipelineResult:
     # Independent per-phase keys (fold_in): toggling -validate or reordering
     # phases cannot shift any other phase's randomness.
@@ -220,8 +237,9 @@ def run_pipeline(
 
         # ---- Phase A': euclidean clustering, real users (main.cpp:240-325) ----
         with timer.phase("cluster_A"):
-            rec_c = cluster_phase(
-                phase_key(3), real, real, cfg, top_n=5, init="random", self_cluster=True
+            rec_c, sil_a = cluster_phase(
+                phase_key(3), real, real, cfg, top_n=5, init="random",
+                self_cluster=True, with_silhouette=with_silhouette,
             )
             jax.block_until_ready(rec_c.top_n)
         _write_phase(
@@ -230,17 +248,23 @@ def run_pipeline(
 
         # ---- Phase B': euclidean clustering of virtual users (main.cpp:334-381) ----
         with timer.phase("cluster_B"):
-            rec_d = cluster_phase(
-                phase_key(4), real, fake, cfg, top_n=2, init="kmeans++", self_cluster=False
+            rec_d, sil_b = cluster_phase(
+                phase_key(4), real, fake, cfg, top_n=2, init="kmeans++",
+                self_cluster=False, with_silhouette=with_silhouette,
             )
             jax.block_until_ready(rec_d.top_n)
         _write_phase(
             out, "Clustering Recommendation", users.ids, rec_d, coins, timer, "cluster_B"
         )
 
+    sils = None
+    if with_silhouette:
+        sils = {"cluster_A": sil_a, "cluster_B": sil_b}
+        log.info("silhouettes: %s", sils)
     return PipelineResult(
         phase_ms={k: timer.ms(k) for k in timer.phases},
         mae=mae,
         n_users=users.n_users,
         n_fake_users=fake_users.n_users,
+        silhouettes=sils,
     )
