@@ -11,8 +11,6 @@ caller's sharding; per-shard streaming saves are a later optimization.
 from __future__ import annotations
 
 import json
-from typing import Optional
-
 import numpy as np
 
 import jax.numpy as jnp

@@ -12,8 +12,6 @@ assignment — exactly as the reference structures it.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -18,7 +18,6 @@ computation: O(n * k) total, fully fused under one jit with a fori_loop.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ reference's NaN (main.cpp:421-423 contains a leftover NaN debug check).
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import NamedTuple, Tuple
 

@@ -19,7 +19,7 @@ checks element parity against the single-device path on a CPU-simulated
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

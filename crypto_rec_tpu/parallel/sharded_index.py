@@ -34,7 +34,6 @@ from crypto_rec_tpu.models.lsh.index import (
     _csr_from_buckets,
     gather_candidate_ids,
 )
-from crypto_rec_tpu.ops.distances import pairwise_distances
 
 
 @functools.partial(

@@ -1,6 +1,5 @@
 """Cluster CLI e2e: reference-format vectors in, cluster report out."""
 
-import numpy as np
 
 from crypto_rec_tpu.cluster_cli import main
 from crypto_rec_tpu.io.synth import write_synthetic_dataset

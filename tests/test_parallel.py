@@ -8,7 +8,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from crypto_rec_tpu.models.rec.engine import RatingSet, recommend
-from crypto_rec_tpu.ops.oracle import exact_nearest, recall_at_k
+from crypto_rec_tpu.ops.oracle import exact_nearest
 from crypto_rec_tpu.parallel.mesh import make_mesh
 from crypto_rec_tpu.parallel.sharded import sharded_recommend, shard_rating_set
 from crypto_rec_tpu.parallel.routing import route_queries_by_bucket

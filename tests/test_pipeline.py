@@ -8,7 +8,7 @@ import os
 import numpy as np
 import pytest
 
-from crypto_rec_tpu.config import RecConfig, load_config
+from crypto_rec_tpu.config import load_config
 from crypto_rec_tpu.io.synth import write_synthetic_dataset
 from crypto_rec_tpu.models.rec.pipeline import run_pipeline
 
