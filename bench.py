@@ -123,6 +123,7 @@ def main() -> None:
         gen_chunk, jax.random.split(jax.random.fold_in(kq, 1), n_chunks)
     ).reshape(-1, D)[:n_rest]
     corpus = jnp.concatenate([planted, rest])
+    del planted, rest  # drop the 2x-corpus generation temporaries
     corpus = jax.block_until_ready(corpus)
     queries = jax.block_until_ready(queries)
     true_idx = (
@@ -144,7 +145,17 @@ def main() -> None:
     jax.block_until_ready(index.bucket_starts)
     log(f"index build cold (incl. compile): {time.perf_counter() - t0:.2f}s")
     del index  # don't hold a live index while timing fresh builds
-    build_s = timed(lambda: jax.block_until_ready(do_build(1).bucket_starts), reps=3)
+    # Time builds one at a time: sync EVERY output leaf and delete before
+    # the next rep — syncing a single array would let builds overlap
+    # asynchronously and double peak memory at 10M+ rows.
+    build_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        idx_t = do_build(1)
+        jax.block_until_ready(jax.tree_util.tree_leaves(idx_t))
+        build_times.append(time.perf_counter() - t0)
+        del idx_t
+    build_s = float(np.median(build_times))
     log(f"index build warm: {build_s:.3f}s ({N / build_s / 1e6:.2f}M rows/s)")
     index = do_build(1)
 
