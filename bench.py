@@ -86,50 +86,15 @@ def main() -> None:
         f"K={K} L={L} budget={BUDGET} window={PT}")
     key = jax.random.PRNGKey(0)
 
-    # Clustered synthetic corpus with PLANTED ground truth: each query's 10
-    # true neighbors are copies of the query with much smaller noise than
-    # the cluster spread, so the top-10 is unambiguous (same-center points
-    # are otherwise nearly equidistant and rank-10 vs rank-11 would be
-    # decided by float noise — recall would measure tie-luck, not
-    # retrieval).  Centers scale with N so clusters stay ~128 points.
-    kc, kp, kq, kb, kn = jax.random.split(key, 5)
-    n_centers = max(1024, N // 128)
-    centers = jax.random.normal(kc, (n_centers, D), jnp.float32) * 2.0
+    # Clustered synthetic corpus with PLANTED ground truth (see
+    # crypto_rec_tpu.io.synth.planted_clustered_corpus for the protocol and
+    # the memory story).
+    from crypto_rec_tpu.io.synth import planted_clustered_corpus
+
     t0 = time.perf_counter()
-    queries = (
-        centers[jax.random.randint(kb, (Q,), 0, n_centers)]
-        + 0.3 * jax.random.normal(kq, (Q, D), jnp.float32)
-    )
-    # planted noise 0.15 = half the cluster spread: near enough to be the
-    # unambiguous top-10 (2x distance margin, far above float noise), far
-    # enough that hash collisions are not a giveaway
-    planted = (
-        queries[:, None, :]
-        + 0.15 * jax.random.normal(kn, (Q, TOPK, D), jnp.float32)
-    ).reshape(Q * TOPK, D)
-    # Chunked generation: the naive gather + noise + sum would hold three
-    # full-corpus f32 temporaries (~15 GiB at 10M x 128) — lax.map keeps
-    # temporaries chunk-sized.
-    n_rest = N - Q * TOPK
-    chunk = 1 << 19
-    n_chunks = -(-n_rest // chunk)
-
-    def gen_chunk(ck):
-        ka, kb2 = jax.random.split(ck)
-        idx = jax.random.randint(ka, (chunk,), 0, n_centers)
-        return centers[idx] + 0.3 * jax.random.normal(kb2, (chunk, D), jnp.float32)
-
-    rest = jax.lax.map(
-        gen_chunk, jax.random.split(jax.random.fold_in(kq, 1), n_chunks)
-    ).reshape(-1, D)[:n_rest]
-    corpus = jnp.concatenate([planted, rest])
-    del planted, rest  # drop the 2x-corpus generation temporaries
+    corpus, queries, true_idx = planted_clustered_corpus(key, N, D, Q, TOPK)
     corpus = jax.block_until_ready(corpus)
     queries = jax.block_until_ready(queries)
-    true_idx = (
-        jnp.arange(Q, dtype=jnp.int32)[:, None] * TOPK
-        + jnp.arange(TOPK, dtype=jnp.int32)[None, :]
-    )
     log(f"corpus [{N}, {D}] built in {time.perf_counter() - t0:.1f}s "
         f"({Q}x{TOPK} planted true neighbors)")
 
@@ -147,17 +112,18 @@ def main() -> None:
     del index  # don't hold a live index while timing fresh builds
     # Time builds one at a time: sync EVERY output leaf and delete before
     # the next rep — syncing a single array would let builds overlap
-    # asynchronously and double peak memory at 10M+ rows.
+    # asynchronously and double peak memory at 10M+ rows.  The last timed
+    # build is reused as THE index (no extra build, less fragmentation).
     build_times = []
-    for _ in range(3):
+    index = None
+    for _ in range(3 if N <= 4_000_000 else 1):
+        del index
         t0 = time.perf_counter()
-        idx_t = do_build(1)
-        jax.block_until_ready(jax.tree_util.tree_leaves(idx_t))
+        index = do_build(1)
+        jax.block_until_ready(jax.tree_util.tree_leaves(index))
         build_times.append(time.perf_counter() - t0)
-        del idx_t
     build_s = float(np.median(build_times))
     log(f"index build warm: {build_s:.3f}s ({N / build_s / 1e6:.2f}M rows/s)")
-    index = do_build(1)
 
     # ---- retrieval QPS ----
     jax.block_until_ready(candidate_ids(index, queries, budget=BUDGET, per_table=PT))  # warm

@@ -14,6 +14,75 @@ from typing import Tuple
 
 import numpy as np
 
+def planted_clustered_corpus(
+    key,
+    n: int,
+    d: int,
+    n_queries: int,
+    top_k: int,
+    n_centers: int = 0,
+    cluster_noise: float = 0.3,
+    planted_noise: float = 0.15,
+    n_chunks: int = 32,
+):
+    """Clustered corpus with planted ground truth, generated in one pass.
+
+    Returns (corpus [n, d], queries [n_queries, d], true_idx [n_queries,
+    top_k]).  Rows [0, n_queries * top_k) are each query's planted true
+    neighbors (query + planted_noise), the rest are cluster points
+    (center + cluster_noise).  Built chunk-by-chunk inside one lax.map so
+    peak device memory is the corpus itself plus one chunk — no concat or
+    slice copies (a naive gather+noise+concat holds ~3x the corpus and
+    OOMs a 16 GiB chip at 10M x 128).
+
+    Used by bench.py / benchmarks/* as the recall benchmark protocol: the
+    planted rows are the unambiguous top-k (distance margin ~2x), so recall
+    measures retrieval rather than float-noise tie ordering.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if n_centers <= 0:
+        n_centers = max(1024, n // 128)
+    kc, kq, kb, kn, kg = jax.random.split(key, 5)
+    centers = jax.random.normal(kc, (n_centers, d), jnp.float32) * 2.0
+    queries = (
+        centers[jax.random.randint(kb, (n_queries,), 0, n_centers)]
+        + cluster_noise * jax.random.normal(kq, (n_queries, d), jnp.float32)
+    )
+    n_planted = n_queries * top_k
+
+    pad = (-n) % n_chunks
+    total = n + pad
+    chunk = total // n_chunks
+
+    def gen_chunk(args):
+        ci, ck = args
+        ka, kb2, kc2 = jax.random.split(ck, 3)
+        rows = ci * chunk + jnp.arange(chunk)
+        cidx = jax.random.randint(ka, (chunk,), 0, n_centers)
+        cluster_rows = centers[cidx] + cluster_noise * jax.random.normal(
+            kb2, (chunk, d), jnp.float32
+        )
+        qidx = jnp.clip(rows // top_k, 0, n_queries - 1)
+        planted_rows = queries[qidx] + planted_noise * jax.random.normal(
+            kc2, (chunk, d), jnp.float32
+        )
+        return jnp.where((rows < n_planted)[:, None], planted_rows, cluster_rows)
+
+    corpus = jax.lax.map(
+        gen_chunk,
+        (jnp.arange(n_chunks), jax.random.split(kg, n_chunks)),
+    ).reshape(total, d)
+    if pad:
+        corpus = corpus[:n]
+    true_idx = (
+        jnp.arange(n_queries, dtype=jnp.int32)[:, None] * top_k
+        + jnp.arange(top_k, dtype=jnp.int32)[None, :]
+    )
+    return corpus, queries, true_idx
+
+
 COIN_NAMES = [
     "bitcoin", "ethereum", "ripple", "litecoin", "cardano",
     "polkadot", "stellar", "dogecoin", "monero", "tezos",

@@ -34,21 +34,25 @@ from crypto_rec_tpu.ops.distances import pairwise_distances
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=("centroids", "blocks", "block_rows", "row_ids"),
-    meta_fields=("metric", "n_clusters", "capacity", "n_rows"),
+    meta_fields=("metric", "n_clusters", "capacity", "n_rows", "dropped_rows"),
 )
 @dataclasses.dataclass
 class IvfIndex:
     """Cluster-blocked corpus.
 
-    blocks:     [n_clusters, capacity, d] — rows grouped by cluster, padded.
-    row_ids:    [n_clusters, capacity] int32 — original row id, -1 for pad.
-    block_rows: [n_clusters] int32 — true member count per cluster.
+    blocks:      [n_clusters, capacity, d] — rows grouped by cluster, padded.
+    row_ids:     [n_clusters, capacity] int32 — original row id, -1 for pad.
+    block_rows:  [n_clusters] int32 — true member count per cluster.
+    dropped_rows — members beyond a cluster's capacity are NOT indexed;
+                   this counts them (no silent truncation — the recall
+                   oracle sees exactly what the index can return).
     """
 
     metric: str
     n_clusters: int
     capacity: int
     n_rows: int
+    dropped_rows: int
     centroids: jax.Array
     blocks: jax.Array
     block_rows: jax.Array
@@ -84,9 +88,13 @@ def build_ivf(
     order = np.argsort(labels_np, kind="stable")
     counts = np.bincount(labels_np, minlength=n_clusters)
     if capacity <= 0:
-        capacity = int(counts.max())
+        # cap at 4x the average: one pathological cluster must not inflate
+        # every probe's read volume; overflow is counted, never silent
+        avg = max(1, n // n_clusters)
+        capacity = int(min(counts.max(), 4 * avg))
         capacity = -(-capacity // 8) * 8
     offsets = np.concatenate([[0], np.cumsum(counts)])
+    dropped = int(np.maximum(counts - capacity, 0).sum())
 
     row_ids = np.full((n_clusters, capacity), -1, np.int32)
     for c in range(n_clusters):
@@ -101,6 +109,7 @@ def build_ivf(
         n_clusters=n_clusters,
         capacity=capacity,
         n_rows=n,
+        dropped_rows=dropped,
         centroids=km.centroids,
         blocks=blocks,
         block_rows=jnp.asarray(np.minimum(counts, capacity).astype(np.int32)),
