@@ -125,11 +125,17 @@ def main() -> None:
     build_s = float(np.median(build_times))
     log(f"index build warm: {build_s:.3f}s ({N / build_s / 1e6:.2f}M rows/s)")
 
-    # ---- retrieval QPS ----
-    jax.block_until_ready(candidate_ids(index, queries, budget=BUDGET, per_table=PT))  # warm
-    query_s = timed(lambda: candidate_ids(index, queries, budget=BUDGET, per_table=PT), reps=5)
-    qps = Q / query_s
-    log(f"retrieval: {Q} queries in {query_s * 1e3:.1f} ms -> {qps:,.0f} q/s/chip")
+    # ---- candidate-set retrieval QPS (secondary; the CF engine's path).
+    # Skipped at >4M rows: its vmapped dedup sorts plus the accumulated
+    # allocator state have wedged the 16 GiB chip there — the fused path
+    # below is the headline retrieval measurement either way.
+    CANDSET = os.environ.get("BENCH_CANDSET", "1" if N <= 4_000_000 else "0") == "1"
+    qps = 0.0
+    if CANDSET:
+        jax.block_until_ready(candidate_ids(index, queries, budget=BUDGET, per_table=PT))
+        query_s = timed(lambda: candidate_ids(index, queries, budget=BUDGET, per_table=PT), reps=5)
+        qps = Q / query_s
+        log(f"retrieval: {Q} queries in {query_s * 1e3:.1f} ms -> {qps:,.0f} q/s/chip")
 
     # ---- fused end-to-end retrieval (gather + score + top-k) ----
     # bf16 scoring corpus: halves the candidate-gather HBM traffic (the
@@ -151,7 +157,10 @@ def main() -> None:
         f"{fused_qps:,.0f} q/s/chip")
 
     # ---- recall vs planted ground truth (+ exact-NN spot check) ----
-    ids = candidate_ids(index, queries, budget=BUDGET, per_table=PT)
+    ids = (
+        candidate_ids(index, queries, budget=BUDGET, per_table=PT)
+        if CANDSET else None
+    )
     _s_f, ids_f = retrieve_topk(
         index, queries, score_corpus, top_k=TOPK, per_table=PT
     )
@@ -164,7 +173,7 @@ def main() -> None:
     oracle_agree = float(recall_at_k(oracle_idx, true_idx[:OQ]))
     log(f"exact oracle over {OQ} x {N}: {time.perf_counter() - t0:.1f}s "
         f"(agreement with planted truth: {oracle_agree:.4f})")
-    recall = float(recall_at_k(ids, true_idx))
+    recall = float(recall_at_k(ids, true_idx)) if CANDSET else -1.0
     fused_recall = float(recall_at_k(ids_f, true_idx))
     log(f"candidate-set recall@{TOPK} = {recall:.4f} (budget={BUDGET}); "
         f"fused top-{TOPK} recall = {fused_recall:.4f}")

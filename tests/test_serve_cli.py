@@ -1,0 +1,78 @@
+"""Serve CLI e2e: checkpoint an index, restore, answer queries."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from crypto_rec_tpu.checkpoint import save_index, save_user_matrix
+from crypto_rec_tpu.io.synth import write_synthetic_dataset
+from crypto_rec_tpu.io.users import build_user_matrix
+from crypto_rec_tpu.io.native import score_tweets_native
+from crypto_rec_tpu.models.lsh.index import build_index
+from crypto_rec_tpu.serve_cli import main
+
+RNG = np.random.default_rng(91)
+
+
+def test_serve_retrieve(tmp_path):
+    x = RNG.normal(size=(256, 16)).astype(np.float32)
+    index = build_index(
+        jax.random.PRNGKey(0), jnp.asarray(x), "cosine", 4, 4, 4, 1.0
+    )
+    save_index(str(tmp_path / "idx.npz"), index)
+    np.savez(tmp_path / "corpus.npz", vectors=x)
+    with open(tmp_path / "q.csv", "w") as f:
+        for i in range(8):
+            f.write(",".join([f"q{i}"] + [f"{v:.5f}" for v in x[i]]) + "\n")
+    rc = main([
+        "retrieve", "--index", str(tmp_path / "idx.npz"),
+        "--corpus", str(tmp_path / "corpus.npz"),
+        "--queries", str(tmp_path / "q.csv"),
+        "--top-k", "3", "-o", str(tmp_path / "out.tsv"),
+    ])
+    assert rc == 0
+    lines = open(tmp_path / "out.tsv").read().splitlines()
+    assert len(lines) == 8
+    for i, line in enumerate(lines):
+        toks = line.split("\t")
+        assert toks[0] == f"q{i}"
+        # each query is an exact corpus row -> retrieves itself at sim ~1
+        top_row, top_score = toks[1].split(":")
+        assert int(top_row) == i
+        assert float(top_score) > 0.999
+
+
+def test_serve_retrieve_corpus_mismatch(tmp_path):
+    x = RNG.normal(size=(64, 8)).astype(np.float32)
+    index = build_index(
+        jax.random.PRNGKey(0), jnp.asarray(x), "cosine", 3, 2, 4, 1.0
+    )
+    save_index(str(tmp_path / "idx.npz"), index)
+    np.savez(tmp_path / "corpus.npz", vectors=x[:32])  # wrong size
+    open(tmp_path / "q.csv", "w").write("q0," + ",".join(["0.1"] * 8) + "\n")
+    rc = main([
+        "retrieve", "--index", str(tmp_path / "idx.npz"),
+        "--corpus", str(tmp_path / "corpus.npz"),
+        "--queries", str(tmp_path / "q.csv"),
+        "-o", str(tmp_path / "out.tsv"),
+    ])
+    assert rc == 1
+
+
+def test_serve_recommend(tmp_path):
+    ds = tmp_path / "ds"
+    write_synthetic_dataset(str(ds), seed=17)
+    batch = score_tweets_native(
+        f"{ds}/tweets.tsv", f"{ds}/lexicon.tsv", f"{ds}/coins.tsv", "\t"
+    )
+    um = build_user_matrix(batch)
+    save_user_matrix(str(tmp_path / "users.npz"), um)
+    rc = main([
+        "recommend", "--users", str(tmp_path / "users.npz"),
+        "--coins", f"{ds}/coins.tsv", "--top-n", "3",
+        "-o", str(tmp_path / "rec.txt"),
+    ])
+    assert rc == 0
+    lines = open(tmp_path / "rec.txt").read().splitlines()
+    assert len(lines) > 10
+    assert all(l.split()[0].startswith("user") for l in lines)
