@@ -41,13 +41,16 @@ def log(*a):
 
 
 def timed(fn, reps: int = 5):
-    """Median wall-clock of fn(), forcing a host sync per rep."""
+    """Median wall-clock of fn(): fully sync every rep and free its outputs
+    before the next (async overlap both under-reports AND doubles peak HBM
+    on a nearly-full chip)."""
     times = []
+    out = None
     for _ in range(reps):
+        del out
         t0 = time.perf_counter()
         out = fn()
-        # scalar host read defeats async dispatch under-reporting
-        jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
 

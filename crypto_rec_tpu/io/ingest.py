@@ -27,14 +27,6 @@ SENTIMENT_ALPHA = 15.0  # tweet.cpp:40
 
 
 @dataclasses.dataclass
-class Lexicon:
-    words: Dict[str, float]
-
-    def score(self, word: str):
-        return self.words.get(word)
-
-
-@dataclasses.dataclass
 class CoinTable:
     """Coin index <- any of its name variations (query_crypto rows)."""
 

@@ -63,3 +63,35 @@ def test_sharded_csr_recommend_matches_dense_engine():
     np.testing.assert_array_equal(
         np.asarray(has), np.asarray(want.has_neighbors)
     )
+
+
+def test_sharded_csr_recommend_euclidean_detailed():
+    """Euclidean metric exercises the detailed-hash filter branch."""
+    mesh = make_mesh((1, 8))
+    n, c, q = 8 * 16, 10, 16
+    nr, nk, nm = _ratings(n, c, seed=5)
+    qr, qk, qm = _ratings(q, c, seed=6)
+    sharded = build_sharded_index(
+        mesh, KEY, shard_corpus(mesh, jnp.asarray(nr)), "euclidean",
+        k=3, L=4, lsh_bucket_div=4, euclidean_h_w=4.0,
+    )
+    assert sharded.detailed is not None
+    pred, top, has, sims, gids = sharded_recommend_csr(
+        mesh, sharded,
+        jnp.asarray(qr), jnp.asarray(qk), jnp.asarray(qm),
+        shard_corpus(mesh, jnp.asarray(nr)),
+        jax.device_put(
+            jnp.asarray(nm),
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("mp")),
+        ),
+        budget=64, top_p=6, top_n=3,
+    )
+    assert pred.shape == (q, c)
+    assert np.asarray(has).any()
+    # known cells must keep their ratings
+    np.testing.assert_allclose(
+        np.asarray(pred)[qk], qr[qk], atol=1e-6
+    )
+    # global ids within range
+    g = np.asarray(gids)
+    assert g.max() < n and (g[g >= 0] >= 0).all()
