@@ -84,26 +84,38 @@ def build_ivf(
 
     labels, _ = lloyd_assign(corpus, km.centroids, metric)
 
-    labels_np = np.asarray(labels)
-    order = np.argsort(labels_np, kind="stable")
-    counts = np.bincount(labels_np, minlength=n_clusters)
+    # Device-side block packing (a host loop with fancy indexing pulled the
+    # whole corpus through host memory and took minutes at 2M rows): one
+    # argsort + scatter builds the slot table, one gather fills the blocks.
+    counts_dev = jax.ops.segment_sum(
+        jnp.ones_like(labels, jnp.int32), labels, num_segments=n_clusters
+    )
+    counts = np.asarray(counts_dev)
     if capacity <= 0:
         # cap at 4x the average: one pathological cluster must not inflate
         # every probe's read volume; overflow is counted, never silent
         avg = max(1, n // n_clusters)
         capacity = int(min(counts.max(), 4 * avg))
         capacity = -(-capacity // 8) * 8
-    offsets = np.concatenate([[0], np.cumsum(counts)])
     dropped = int(np.maximum(counts - capacity, 0).sum())
 
-    row_ids = np.full((n_clusters, capacity), -1, np.int32)
-    for c in range(n_clusters):
-        members = order[offsets[c]: offsets[c + 1]][:capacity]
-        row_ids[c, : len(members)] = members
+    order = jnp.argsort(labels)                      # row ids grouped by cluster
+    sorted_labels = labels[order]
+    starts = jnp.searchsorted(
+        sorted_labels, jnp.arange(n_clusters, dtype=labels.dtype)
+    )
+    pos = jnp.arange(n, dtype=jnp.int32) - starts[sorted_labels]
+    keep = pos < capacity
+    slot = jnp.where(
+        keep, sorted_labels * capacity + pos, n_clusters * capacity
+    )  # overflow rows land in a dump slot past the table
+    flat = jnp.full((n_clusters * capacity + 1,), -1, jnp.int32)
+    flat = flat.at[slot].set(order.astype(jnp.int32))
+    row_ids = flat[:-1].reshape(n_clusters, capacity)
 
-    safe = np.maximum(row_ids, 0)
-    blocks = jnp.asarray(np.asarray(corpus)[safe])  # [K, cap, d]
-    blocks = jnp.where(jnp.asarray(row_ids)[:, :, None] >= 0, blocks, 0.0)
+    safe = jnp.maximum(row_ids, 0)
+    blocks = corpus[safe]                            # [K, cap, d] device gather
+    blocks = jnp.where(row_ids[:, :, None] >= 0, blocks, 0.0)
     return IvfIndex(
         metric=metric,
         n_clusters=n_clusters,
