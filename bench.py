@@ -31,6 +31,7 @@ import time
 import numpy as np
 
 import jax
+from crypto_rec_tpu.utils.timing import hard_sync
 import jax.numpy as jnp
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-bench")
@@ -50,7 +51,7 @@ def timed(fn, reps: int = 5):
         del out
         t0 = time.perf_counter()
         out = fn()
-        jax.block_until_ready(out)
+        hard_sync(out)
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
 
@@ -96,8 +97,8 @@ def main() -> None:
 
     t0 = time.perf_counter()
     corpus, queries, true_idx = planted_clustered_corpus(key, N, D, Q, TOPK)
-    corpus = jax.block_until_ready(corpus)
-    queries = jax.block_until_ready(queries)
+    corpus = hard_sync(corpus)
+    queries = hard_sync(queries)
     log(f"corpus [{N}, {D}] built in {time.perf_counter() - t0:.1f}s "
         f"({Q}x{TOPK} planted true neighbors)")
 
@@ -110,7 +111,7 @@ def main() -> None:
 
     t0 = time.perf_counter()
     index = do_build(1)
-    jax.block_until_ready(index.bucket_starts)
+    hard_sync(index.bucket_starts)
     log(f"index build cold (incl. compile): {time.perf_counter() - t0:.2f}s")
     del index  # don't hold a live index while timing fresh builds
     # Time builds one at a time: sync EVERY output leaf and delete before
@@ -123,7 +124,7 @@ def main() -> None:
         del index
         t0 = time.perf_counter()
         index = do_build(1)
-        jax.block_until_ready(jax.tree_util.tree_leaves(index))
+        hard_sync(jax.tree_util.tree_leaves(index))
         build_times.append(time.perf_counter() - t0)
     build_s = float(np.median(build_times))
     log(f"index build warm: {build_s:.3f}s ({N / build_s / 1e6:.2f}M rows/s)")
@@ -135,7 +136,7 @@ def main() -> None:
     CANDSET = os.environ.get("BENCH_CANDSET", "1" if N <= 4_000_000 else "0") == "1"
     qps = 0.0
     if CANDSET:
-        jax.block_until_ready(candidate_ids(index, queries, budget=BUDGET, per_table=PT))
+        hard_sync(candidate_ids(index, queries, budget=BUDGET, per_table=PT))
         query_s = timed(lambda: candidate_ids(index, queries, budget=BUDGET, per_table=PT), reps=5)
         qps = Q / query_s
         log(f"retrieval: {Q} queries in {query_s * 1e3:.1f} ms -> {qps:,.0f} q/s/chip")
@@ -145,8 +146,8 @@ def main() -> None:
     # fused path's dominant cost); scores accumulate in f32 and the planted
     # 2x distance margin dwarfs bf16 rounding.
     score_corpus = corpus.astype(jnp.bfloat16) if BF16 else corpus
-    score_corpus = jax.block_until_ready(score_corpus)
-    jax.block_until_ready(
+    score_corpus = hard_sync(score_corpus)
+    hard_sync(
         retrieve_topk(index, queries, score_corpus, top_k=TOPK, per_table=PT)
     )
     fused_s = timed(
@@ -171,7 +172,7 @@ def main() -> None:
     _d, oracle_idx = exact_nearest(
         queries[:OQ], corpus, "cosine", TOPK, block_rows=64
     )
-    jax.block_until_ready(oracle_idx)
+    hard_sync(oracle_idx)
     # spot check: the exact oracle must agree with the planted truth
     oracle_agree = float(recall_at_k(oracle_idx, true_idx[:OQ]))
     log(f"exact oracle over {OQ} x {N}: {time.perf_counter() - t0:.1f}s "

@@ -18,6 +18,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-bench")
 
 import numpy as np
 import jax
+from crypto_rec_tpu.utils.timing import hard_sync
 import jax.numpy as jnp
 
 
@@ -44,7 +45,7 @@ def main() -> None:
     from crypto_rec_tpu.io.synth import planted_clustered_corpus
 
     corpus, queries, true_idx = planted_clustered_corpus(key, N, D, Q, TOPK)
-    corpus = jax.block_until_ready(corpus)
+    corpus = hard_sync(corpus)
     log("corpus ready")
 
     t0 = time.perf_counter()
@@ -52,7 +53,7 @@ def main() -> None:
         jax.random.PRNGKey(1), corpus, K, metric="cosine",
         max_iterations=8, train_rows=min(TRAIN, N),
     )
-    jax.block_until_ready(index.blocks)
+    hard_sync(index.blocks)
     build_s = time.perf_counter() - t0
     cap = index.capacity
     log(f"ivf build (incl. compile): {build_s:.1f}s, capacity={cap}, "
@@ -69,7 +70,7 @@ def main() -> None:
         )
 
     vals, ids = ivf_retrieve_topk(index, queries, NPROBE, TOPK)
-    jax.block_until_ready(ids)
+    hard_sync(ids)
     times = []
     for _ in range(5):
         t0 = time.perf_counter()

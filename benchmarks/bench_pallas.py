@@ -16,12 +16,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
+from crypto_rec_tpu.utils.timing import hard_sync
 import jax.numpy as jnp
 
 
 def timed(fn, reps=5):
     out = fn()
-    jax.block_until_ready(out)
+    hard_sync(out)
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()

@@ -33,6 +33,7 @@ def main() -> None:
     args = ap.parse_args()
 
     import jax
+from crypto_rec_tpu.utils.timing import hard_sync
 
     if args.cpu or len(jax.devices()) < 2:
         os.environ["XLA_FLAGS"] = (
@@ -63,10 +64,10 @@ def main() -> None:
     # single-device baseline
     t0 = time.perf_counter()
     rec1 = recommend(queries, neighbors, mk, top_p=args.top_p, top_n=5)
-    jax.block_until_ready(rec1.predicted)
+    hard_sync(rec1.predicted)
     t0 = time.perf_counter()
     rec1 = recommend(queries, neighbors, mk, top_p=args.top_p, top_n=5)
-    jax.block_until_ready(rec1.predicted)
+    hard_sync(rec1.predicted)
     results["single"] = time.perf_counter() - t0
 
     for mp in (2, 4, len(devs)):
@@ -75,10 +76,10 @@ def main() -> None:
         mesh = make_mesh((1, mp), devices=devs[:mp])
         nb = shard_rating_set(mesh, neighbors, "mp")
         rec = sharded_recommend(mesh, queries, nb, mk, top_p=args.top_p, top_n=5)
-        jax.block_until_ready(rec.predicted)
+        hard_sync(rec.predicted)
         t0 = time.perf_counter()
         rec = sharded_recommend(mesh, queries, nb, mk, top_p=args.top_p, top_n=5)
-        jax.block_until_ready(rec.predicted)
+        hard_sync(rec.predicted)
         results[f"mp={mp}"] = time.perf_counter() - t0
         # parity vs single-device
         np.testing.assert_allclose(

@@ -12,6 +12,26 @@ import time
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
+
+
+def hard_sync(out):
+    """Force EXECUTION of every array in `out` and return it.
+
+    `jax.block_until_ready` is not sufficient on every backend: the remote
+    PJRT tunnel used on this testbed reports buffers "ready" while the
+    computation is still queued remotely (measured 2026-08-18: a 2.2-TFLOP
+    matmul "completed" in 0.1 ms under block_until_ready vs 38 ms under a
+    real host read).  Reading one reduced scalar per leaf back to the host
+    is the only observable that guarantees the producing kernels ran.
+    """
+    for leaf in jax.tree_util.tree_leaves(out):
+        if isinstance(leaf, jax.Array):
+            x = leaf
+            if jnp.issubdtype(x.dtype, jnp.bool_):
+                x = x.astype(jnp.int32)
+            jax.device_get(jnp.max(x.ravel()[:1]))
+    return out
 
 
 class PhaseTimer:
