@@ -81,6 +81,7 @@ def main() -> None:
     from crypto_rec_tpu.models.lsh.index import (
         build_index,
         candidate_ids,
+        pack_index,
         retrieve_topk,
     )
     from crypto_rec_tpu.ops.oracle import exact_nearest, recall_at_k
@@ -141,12 +142,35 @@ def main() -> None:
         qps = Q / query_s
         log(f"retrieval: {Q} queries in {query_s * 1e3:.1f} ms -> {qps:,.0f} q/s/chip")
 
+    # ---- packed-slab layout (pack_index): per-table CSR-ordered corpus
+    # copies turn the fused path's random row gather into contiguous
+    # dynamic-slice DMAs.  Costs L extra bf16 corpus copies, so gate on HBM:
+    # ~6 GiB of slabs still leaves room for the f32 corpus + oracle blocks
+    # on a 16 GiB chip.
+    packed_bytes = L * (N + 4096) * D * (2 if BF16 else 4)
+    PACK = os.environ.get(
+        "BENCH_PACK", "1" if packed_bytes <= 6_000_000_000 else "0"
+    ) == "1"
+    pack_s = 0.0
+    if PACK:
+        pack_dtype = jnp.bfloat16 if BF16 else jnp.float32
+        t0 = time.perf_counter()
+        index = pack_index(index, corpus, dtype=pack_dtype)
+        hard_sync(jax.tree_util.tree_leaves(index))
+        pack_s = time.perf_counter() - t0
+        log(f"packed slabs ({packed_bytes / 1e9:.1f} GB {pack_dtype.__name__}) "
+            f"in {pack_s:.2f}s (incl. compile)")
+
     # ---- fused end-to-end retrieval (gather + score + top-k) ----
     # bf16 scoring corpus: halves the candidate-gather HBM traffic (the
     # fused path's dominant cost); scores accumulate in f32 and the planted
-    # 2x distance margin dwarfs bf16 rounding.
-    score_corpus = corpus.astype(jnp.bfloat16) if BF16 else corpus
-    score_corpus = hard_sync(score_corpus)
+    # 2x distance margin dwarfs bf16 rounding.  With PACK the slabs already
+    # carry the scoring data, so no separate copy is needed.
+    if PACK:
+        score_corpus = corpus  # ignored by the packed retrieve path
+    else:
+        score_corpus = corpus.astype(jnp.bfloat16) if BF16 else corpus
+        score_corpus = hard_sync(score_corpus)
     hard_sync(
         retrieve_topk(index, queries, score_corpus, top_k=TOPK, per_table=PT)
     )
@@ -200,6 +224,8 @@ def main() -> None:
         "candidate_budget": BUDGET,
         "per_table_window": PT,
         "bf16_scoring": BF16,
+        "packed_slabs": PACK,
+        "pack_s": round(pack_s, 3),
         "platform": dev.platform,
     }))
 

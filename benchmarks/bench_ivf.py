@@ -69,19 +69,35 @@ def main() -> None:
             dropped_rows=index.dropped_rows,
         )
 
-    vals, ids = ivf_retrieve_topk(index, queries, NPROBE, TOPK)
-    hard_sync(ids)
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        vals, ids = ivf_retrieve_topk(index, queries, NPROBE, TOPK)
-        jax.device_get(ids.ravel()[0])
-        times.append(time.perf_counter() - t0)
-    q_s = float(np.median(times))
-    qps = Q / q_s
-    recall = float(recall_at_k(ids, true_idx))
-    log(f"ivf retrieve: {q_s*1e3:.1f} ms -> {qps:,.0f} q/s/chip; "
-        f"recall@{TOPK}={recall:.4f}")
+    # nprobe sweep: the standard IVF quality/speed knob.  Report the fastest
+    # operating point whose recall (verified against the planted truth)
+    # clears the 0.95 target with margin; IVF_NPROBE pins a single value.
+    probes = (
+        [NPROBE]
+        if "IVF_NPROBE" in os.environ
+        else sorted({2, 4, 8, NPROBE})
+    )
+    sweep = {}
+    best = None
+    for np_i in probes:
+        vals, ids = ivf_retrieve_topk(index, queries, np_i, TOPK)
+        hard_sync(ids)
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            vals, ids = ivf_retrieve_topk(index, queries, np_i, TOPK)
+            jax.device_get(ids.ravel()[0])
+            times.append(time.perf_counter() - t0)
+        q_s = float(np.median(times))
+        r = float(recall_at_k(ids, true_idx))
+        sweep[np_i] = {"qps": round(Q / q_s, 1), "recall": round(r, 4)}
+        log(f"nprobe={np_i}: {q_s*1e3:.1f} ms -> {Q/q_s:,.0f} q/s/chip; "
+            f"recall@{TOPK}={r:.4f}")
+        if r >= 0.97 and (best is None or Q / q_s > sweep[best]["qps"]):
+            best = np_i
+    if best is None:  # nothing cleared the bar; report the most accurate
+        best = max(sweep, key=lambda p: sweep[p]["recall"])
+    qps, recall = sweep[best]["qps"], sweep[best]["recall"]
 
     print(json.dumps({
         "metric": "ivf_recall@10",
@@ -91,7 +107,8 @@ def main() -> None:
         "qps_per_chip": round(qps, 1),
         "build_s": round(build_s, 2),
         "clusters": K,
-        "nprobe": NPROBE,
+        "nprobe": best,
+        "nprobe_sweep": sweep,
         "capacity": cap,
         "dropped_rows": index.dropped_rows,
         "corpus_rows": N,

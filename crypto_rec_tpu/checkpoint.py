@@ -103,6 +103,8 @@ def index_nbytes(index: LshIndex) -> int:
     total = 0
     for arr in (
         index.bucket_ids, index.sorted_rows, index.bucket_starts, index.detailed,
+        index.packed, index.packed_rows, index.packed_sqnorm,
+        index.packed_detailed,
     ):
         if arr is not None:
             total += arr.size * arr.dtype.itemsize

@@ -34,7 +34,10 @@ from crypto_rec_tpu.models.lsh.pstable import PStableLsh
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=("family", "bucket_ids", "detailed", "sorted_rows", "bucket_starts"),
+    data_fields=(
+        "family", "bucket_ids", "detailed", "sorted_rows", "bucket_starts",
+        "packed", "packed_rows", "packed_sqnorm", "packed_detailed",
+    ),
     meta_fields=("metric", "n_buckets", "n_rows"),
 )
 @dataclasses.dataclass
@@ -45,6 +48,16 @@ class LshIndex:
     detailed:      [n, L, k] int32 h-tuples (euclidean only, else None).
     sorted_rows:   [L, n] int32 — row ids sorted by bucket id per table (CSR).
     bucket_starts: [L, n_buckets + 1] int32 — CSR offsets per table.
+
+    Optional packed-slab layout (see pack_index): per-table copies of the
+    corpus in CSR order so a query's bucket window is ONE contiguous slab —
+    streaming DMA instead of a random row gather per candidate.
+
+    packed:          [L, n + pad, d] — CSR-ordered corpus per table
+                     (cosine: rows L2-normalized; usually bfloat16).
+    packed_rows:     [L, n + pad] int32 — sorted_rows padded with sentinel n.
+    packed_sqnorm:   [L, n + pad] float32 |row|^2 (euclidean only).
+    packed_detailed: [L, n + pad, k] int32 CSR-ordered h-tuples (euclidean).
     """
 
     metric: str
@@ -55,6 +68,10 @@ class LshIndex:
     detailed: Optional[jax.Array]
     sorted_rows: jax.Array
     bucket_starts: jax.Array
+    packed: Optional[jax.Array] = None
+    packed_rows: Optional[jax.Array] = None
+    packed_sqnorm: Optional[jax.Array] = None
+    packed_detailed: Optional[jax.Array] = None
 
 
 def _csr_from_buckets(bucket_ids: jax.Array, n_buckets: int) -> Tuple[jax.Array, jax.Array]:
@@ -139,6 +156,74 @@ def build_index(
         sorted_rows=sorted_rows,
         bucket_starts=starts,
     )
+
+
+def pack_index(
+    index: LshIndex,
+    corpus: jax.Array,
+    dtype=jnp.bfloat16,
+    pad: int = 4096,
+) -> LshIndex:
+    """Attach the packed-slab layout: per-table CSR-ordered corpus copies.
+
+    The fused retrieve path's cost is the candidate gather — L*window random
+    128-float rows per query, which TPUs service at a fraction of streaming
+    bandwidth.  Packing rewrites each table's members CONTIGUOUSLY in bucket
+    order (the IVF trick, models/ivf.py, applied per LSH table), so a query
+    reads ONE [window, d] slab per table via dynamic-slice DMA.
+
+    Cost: L extra corpus copies ([L, n + pad, d] in `dtype` — bf16 halves
+    it) and a one-time build gather.  At n rows, d dims that is
+    L*(n+pad)*d*itemsize bytes; callers gate on HBM.  Cosine rows are
+    pre-normalized (query-side normalization happens in retrieve), so bf16
+    rounding is the only scoring difference vs the unpacked path.
+
+    `pad` trailing sentinel rows let any window start up to n without
+    clamping; retrieve asserts per_table <= pad.
+    """
+    L, n = index.sorted_rows.shape
+    d = corpus.shape[1]
+
+    def one_table(rows):
+        g = corpus[rows].astype(jnp.float32)
+        if index.metric == "cosine":
+            g = g / jnp.maximum(
+                jnp.linalg.norm(g, axis=1, keepdims=True), 1e-30
+            )
+            sq = jnp.zeros((rows.shape[0],), jnp.float32)
+        else:
+            sq = jnp.sum(g * g, axis=1)
+        return g.astype(dtype), sq
+
+    # sequential over tables: bounds the f32 intermediate to one [n, d]
+    packed, sq = jax.lax.map(one_table, index.sorted_rows)
+    # round the padded length to a 512 multiple: the packed retrieve path
+    # gathers W-row ALIGNED blocks (W in {128, 256, 512} dividing n + pad),
+    # which XLA lowers to wide contiguous DMAs — unaligned window slices
+    # fall off that fast path
+    pad = -(n + pad) % 512 + pad
+    packed = jnp.pad(packed, ((0, 0), (0, pad), (0, 0)))
+    packed_rows = jnp.pad(
+        index.sorted_rows, ((0, 0), (0, pad)), constant_values=n
+    )
+    kw: dict = {"packed": packed, "packed_rows": packed_rows}
+    if index.metric == "euclidean":
+        kw["packed_sqnorm"] = jnp.pad(sq, ((0, 0), (0, pad)))
+        if index.detailed is not None:
+            k = index.detailed.shape[-1]
+
+            def one_detailed(args):
+                rows, l = args
+                return index.detailed[rows, l, :]
+
+            pd = jax.lax.map(
+                one_detailed,
+                (index.sorted_rows, jnp.arange(L, dtype=jnp.int32)),
+            )
+            kw["packed_detailed"] = jnp.pad(
+                pd, ((0, 0), (0, pad), (0, 0))
+            ).reshape(L, n + pad, k)
+    return dataclasses.replace(index, **kw)
 
 
 def query_hashes(index: LshIndex, queries: jax.Array) -> Tuple[jax.Array, Optional[jax.Array]]:
@@ -295,7 +380,8 @@ def gather_candidate_ids(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("top_k", "per_table", "filtered", "q_block")
+    jax.jit,
+    static_argnames=("top_k", "per_table", "filtered", "q_block", "block_rows"),
 )
 def retrieve_topk(
     index: LshIndex,
@@ -305,6 +391,7 @@ def retrieve_topk(
     per_table: int = 256,
     filtered: bool = True,
     q_block: int = 256,
+    block_rows: int = 128,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused end-to-end retrieval: bucket gather -> score -> top-k.
 
@@ -328,7 +415,7 @@ def retrieve_topk(
     queries_p = jnp.pad(queries, ((0, pad_q), (0, 0)))
     vals, ids = jax.lax.map(
         lambda blk: _retrieve_topk_block(
-            index, blk, corpus, top_k, per_table, filtered
+            index, blk, corpus, top_k, per_table, filtered, block_rows
         ),
         queries_p.reshape(-1, q_block, queries.shape[1]),
     )
@@ -345,7 +432,12 @@ def _retrieve_topk_block(
     top_k: int,
     per_table: int,
     filtered: bool,
+    block_rows: int = 128,
 ) -> Tuple[jax.Array, jax.Array]:
+    if index.packed is not None:
+        return _retrieve_topk_block_packed(
+            index, queries, top_k, per_table, filtered, block_rows
+        )
     L = index.bucket_ids.shape[1]
     q_buckets, q_detailed = query_hashes(index, queries)
     sentinel = index.n_rows
@@ -401,6 +493,114 @@ def _retrieve_topk_block(
     if q_detailed is None:
         q_detailed = jnp.zeros((queries.shape[0], L, 1), jnp.int32)
     return jax.vmap(per_query)(queries, q_buckets, q_detailed)
+
+
+def _retrieve_topk_block_packed(
+    index: LshIndex,
+    queries: jax.Array,
+    top_k: int,
+    per_table: int,
+    filtered: bool,
+    block_rows: int = 128,
+) -> Tuple[jax.Array, jax.Array]:
+    """retrieve_topk over the packed-slab layout (pack_index).
+
+    Each query/table window [s0, s0 + per_table) is covered by B ALIGNED
+    W-row blocks of the CSR-ordered corpus copy, fetched with one batched
+    `blocks[idx]` gather — the gather-of-aligned-slices form XLA turns into
+    wide contiguous DMAs (the layout trick of models/ivf.py, applied per LSH
+    table).  Unaligned per-window dynamic-slices measure ~10x slower on v5e.
+    Rows outside [s0, min(s0 + per_table, bucket_end)) are masked; scores
+    and the two-stage dedup top-k match the unpacked path up to the packed
+    dtype's rounding (usually bf16).
+    """
+    L, n_pad, d = index.packed.shape
+    n = index.n_rows
+    pad = n_pad - n
+    W = block_rows
+    while n_pad % W:  # pack_index pads to a 512 multiple
+        W //= 2
+    if W < 8:
+        raise ValueError(f"packed length {n_pad} not divisible by a block size")
+    B = (per_table + W - 2) // W + 1
+    if per_table + 2 * W > pad:
+        raise ValueError(
+            f"per_table={per_table} (+2 blocks of {W}) exceeds packed "
+            f"pad={pad}; re-pack with pack_index(..., pad>={per_table + 2 * W})"
+        )
+    nblk = n_pad // W
+    q = queries.shape[0]
+    q_buckets, q_detailed = query_hashes(index, queries)  # [q, L], [q, L, k]
+
+    l_idx = jnp.arange(L, dtype=jnp.int32)
+    start = index.bucket_starts[l_idx[None, :], q_buckets]       # [q, L]
+    end = index.bucket_starts[l_idx[None, :], q_buckets + 1]
+    size = end - start
+    # same pseudo-random window offset as the unpacked path: keeps
+    # per-table coverage of oversized buckets independent across tables
+    # (see gather_candidate_ids)
+    golden = jnp.int32(-1640531527)
+    mix = (q_buckets * golden) ^ (l_idx[None, :] * jnp.int32(40503))
+    s0 = start + jnp.remainder(
+        jnp.abs(mix), jnp.maximum(size - per_table, 0) + 1
+    )                                                            # [q, L]
+    lim = jnp.minimum(s0 + per_table, end)
+
+    blk = (s0 // W)[:, :, None] + jnp.arange(B, dtype=jnp.int32)  # [q, L, B]
+    gidx = (l_idx[None, :, None] * nblk + blk).reshape(q, L * B)
+    pos = (blk[..., None] * W + jnp.arange(W, dtype=jnp.int32))   # [q, L, B, W]
+    valid = (pos >= s0[..., None, None]) & (pos < lim[..., None, None])
+
+    cand = index.packed.reshape(nblk * L, W, d)[gidx]       # [q, L*B, W, d]
+    rows = index.packed_rows.reshape(nblk * L, W)[gidx]     # [q, L*B, W]
+    if filtered and index.packed_detailed is not None:
+        k = index.packed_detailed.shape[-1]
+        dblk = index.packed_detailed.reshape(nblk * L, W, k)[gidx]
+        ok = jnp.all(
+            dblk.reshape(q, L, B, W, k) == q_detailed[:, :, None, None, :],
+            axis=-1,
+        )
+        valid = valid & ok
+
+    qv = queries.astype(jnp.float32)
+    if index.metric == "cosine":
+        qv = qv / jnp.maximum(
+            jnp.linalg.norm(qv, axis=1, keepdims=True), 1e-30
+        )
+    dots = jnp.einsum(
+        "qd,qmwd->qmw", qv, cand, preferred_element_type=jnp.float32
+    )
+    if index.metric == "cosine":
+        score = dots  # packed rows are pre-normalized
+    else:
+        sq = index.packed_sqnorm.reshape(nblk * L, W)[gidx]
+        qsq = jnp.sum(qv * qv, axis=1)
+        score = -jnp.sqrt(
+            jnp.maximum(sq - 2.0 * dots + qsq[:, None, None], 0.0)
+        )
+
+    m = L * B * W
+    score = jnp.where(valid.reshape(q, m), score.reshape(q, m), -jnp.inf)
+    ids = jnp.where(valid.reshape(q, m), rows.reshape(q, m), n)
+    safe = jnp.minimum(ids, n - 1)
+
+    # stage 1: top L*top_k with duplicates; stage 2: dedup + final top-k
+    m1 = min(L * top_k, m)
+    s1, pos1 = jax.lax.top_k(score, m1)                     # [q, m1]
+    ids1 = jnp.take_along_axis(safe, pos1, axis=1)
+    order = jnp.argsort(ids1, axis=1)
+    ids_sorted = jnp.take_along_axis(ids1, order, axis=1)
+    s_sorted = jnp.take_along_axis(s1, order, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((q, 1), bool), ids_sorted[:, 1:] == ids_sorted[:, :-1]],
+        axis=1,
+    )
+    s_sorted = jnp.where(dup | ~jnp.isfinite(s_sorted), -jnp.inf, s_sorted)
+    s2, pos2 = jax.lax.top_k(s_sorted, top_k)
+    out_ids = jnp.where(
+        s2 > -jnp.inf, jnp.take_along_axis(ids_sorted, pos2, axis=1), -1
+    )
+    return s2, out_ids
 
 
 def mask_from_candidate_ids(ids: jax.Array, n_rows: int) -> jax.Array:

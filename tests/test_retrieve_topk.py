@@ -86,3 +86,64 @@ def test_retrieve_topk_no_duplicate_ids():
     for row in np.asarray(ids):
         real = row[row >= 0]
         assert len(real) == len(set(real.tolist()))
+
+
+def test_packed_matches_unpacked():
+    """pack_index + retrieve_topk == unpacked retrieve_topk (f32 pack dtype
+    removes the bf16 rounding so the comparison is tight)."""
+    from crypto_rec_tpu.models.lsh.index import pack_index
+
+    for metric in ("cosine", "euclidean"):
+        x = jnp.asarray(_clustered(512, 16, n_centers=24))
+        q = x[:64]
+        idx = build_index(
+            KEY, x, metric, k=4, L=5, lsh_bucket_div=6, euclidean_h_w=2.0
+        )
+        pidx = pack_index(idx, x, dtype=jnp.float32, pad=256)
+        ws, wi = retrieve_topk(idx, q, x, top_k=8, per_table=128)
+        gs, gi = retrieve_topk(pidx, q, x, top_k=8, per_table=128)
+        ws, wi, gs, gi = map(np.asarray, (ws, wi, gs, gi))
+        mask = np.isfinite(ws)
+        # packed euclidean uses |c|^2 - 2cq + |q|^2: near-zero distances see
+        # sqrt-amplified f32 cancellation (sqrt(eps*|c|^2) ~ 2e-2 here)
+        atol = 1e-4 if metric == "cosine" else 2.5e-2
+        np.testing.assert_allclose(gs[mask], ws[mask], atol=atol, err_msg=metric)
+        # near-ties may permute ids; compare as sets per query
+        for qi in range(wi.shape[0]):
+            want = set(wi[qi][wi[qi] >= 0].tolist())
+            got = set(gi[qi][gi[qi] >= 0].tolist())
+            assert len(want & got) >= len(want) - 1, (metric, qi, want, got)
+
+
+def test_packed_bf16_recall():
+    """bf16 packing keeps recall vs a same-precision oracle.
+
+    bf16 input quantization (~0.4% relative) cannot rank neighbors whose
+    similarities differ by less than that — a scoring-precision property,
+    not an index property — so the oracle here scores the same bf16-rounded
+    corpus exactly.  Residual recall loss is then pure LSH truncation."""
+    from crypto_rec_tpu.models.lsh.index import pack_index
+
+    x = jnp.asarray(_clustered(2048, 24, n_centers=64))
+    idx = build_index(KEY, x, "cosine", k=7, L=8, lsh_bucket_div=4, euclidean_h_w=1.0)
+    pidx = pack_index(idx, x, dtype=jnp.bfloat16, pad=256)
+    _s, ids = retrieve_topk(pidx, x, x, top_k=10, per_table=128)
+    # oracle at bf16 scoring precision: normalize, round to bf16, exact top-k
+    xn = np.asarray(x, np.float64)
+    xn = xn / np.linalg.norm(xn, axis=1, keepdims=True)
+    xb = np.asarray(jnp.asarray(xn, jnp.bfloat16).astype(jnp.float64))
+    sims = xb @ xb.T
+    true_idx = np.argsort(-sims, axis=1)[:, :10]
+    r = float(recall_at_k(jnp.asarray(ids), jnp.asarray(true_idx)))
+    assert r > 0.95, r
+
+
+def test_packed_rejects_oversized_window():
+    from crypto_rec_tpu.models.lsh.index import pack_index
+    import pytest
+
+    x = jnp.asarray(_clustered(128, 8))
+    idx = build_index(KEY, x, "cosine", k=3, L=2, lsh_bucket_div=4, euclidean_h_w=1.0)
+    pidx = pack_index(idx, x, pad=16)  # rounded up to a 512 multiple -> 384
+    with pytest.raises(ValueError, match="per_table"):
+        retrieve_topk(pidx, x[:4], x, top_k=3, per_table=200)
