@@ -14,6 +14,18 @@ from typing import Tuple
 
 import numpy as np
 
+import functools as _functools
+
+import jax as _jax
+
+
+@_functools.partial(
+    _jax.jit,
+    static_argnames=(
+        "n", "d", "n_queries", "top_k", "n_centers",
+        "cluster_noise", "planted_noise", "n_chunks",
+    ),
+)
 def planted_clustered_corpus(
     key,
     n: int,
@@ -26,6 +38,10 @@ def planted_clustered_corpus(
     n_chunks: int = 32,
 ):
     """Clustered corpus with planted ground truth, generated in one pass.
+
+    jit over the whole generator: one dispatch instead of a dozen eager
+    round trips (this testbed's remote backend makes eager dispatch the
+    dominant cost at any scale).
 
     Returns (corpus [n, d], queries [n_queries, d], true_idx [n_queries,
     top_k]).  Rows [0, n_queries * top_k) are each query's planted true

@@ -59,6 +59,34 @@ class IvfIndex:
     row_ids: jax.Array
 
 
+@functools.partial(jax.jit, static_argnames=("n_clusters", "capacity"))
+def _pack_blocks(corpus, labels, n_clusters: int, capacity: int):
+    """Device-side block packing under ONE jit dispatch (eager op-by-op
+    dispatch costs ~1s/op on the remote-execution testbed): sort rows by
+    cluster, scatter into capacity-padded slots (overflow to a dump slot
+    past the table), one gather to fill the blocks."""
+    n = corpus.shape[0]
+    sorted_labels, order = jax.lax.sort(
+        (labels, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+    )
+    starts = jnp.searchsorted(
+        sorted_labels, jnp.arange(n_clusters, dtype=labels.dtype)
+    )
+    pos = jnp.arange(n, dtype=jnp.int32) - starts[sorted_labels]
+    keep = pos < capacity
+    slot = jnp.where(
+        keep, sorted_labels * capacity + pos, n_clusters * capacity
+    )
+    flat = jnp.full((n_clusters * capacity + 1,), -1, jnp.int32)
+    flat = flat.at[slot].set(order)
+    row_ids = flat[:-1].reshape(n_clusters, capacity)
+
+    safe = jnp.maximum(row_ids, 0)
+    blocks = corpus[safe]                            # [K, cap, d] device gather
+    blocks = jnp.where(row_ids[:, :, None] >= 0, blocks, 0.0)
+    return row_ids, blocks
+
+
 def build_ivf(
     key: jax.Array,
     corpus: jax.Array,
@@ -99,23 +127,7 @@ def build_ivf(
         capacity = -(-capacity // 8) * 8
     dropped = int(np.maximum(counts - capacity, 0).sum())
 
-    order = jnp.argsort(labels)                      # row ids grouped by cluster
-    sorted_labels = labels[order]
-    starts = jnp.searchsorted(
-        sorted_labels, jnp.arange(n_clusters, dtype=labels.dtype)
-    )
-    pos = jnp.arange(n, dtype=jnp.int32) - starts[sorted_labels]
-    keep = pos < capacity
-    slot = jnp.where(
-        keep, sorted_labels * capacity + pos, n_clusters * capacity
-    )  # overflow rows land in a dump slot past the table
-    flat = jnp.full((n_clusters * capacity + 1,), -1, jnp.int32)
-    flat = flat.at[slot].set(order.astype(jnp.int32))
-    row_ids = flat[:-1].reshape(n_clusters, capacity)
-
-    safe = jnp.maximum(row_ids, 0)
-    blocks = corpus[safe]                            # [K, cap, d] device gather
-    blocks = jnp.where(row_ids[:, :, None] >= 0, blocks, 0.0)
+    row_ids, blocks = _pack_blocks(corpus, labels, n_clusters, capacity)
     return IvfIndex(
         metric=metric,
         n_clusters=n_clusters,

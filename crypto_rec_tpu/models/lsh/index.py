@@ -79,21 +79,30 @@ def _csr_from_buckets(bucket_ids: jax.Array, n_buckets: int) -> Tuple[jax.Array,
 
     The per-table sort is the TPU replacement for pointer-bucket insertion
     (cust_hashtable.hpp:65-70): one `sort` + one `searchsorted` per table.
+    lax.sort on the (bucket, row) pair with num_keys=1 returns the sorted
+    keys AND the permutation in one pass — 3x faster than stable argsort +
+    gather at 2M rows (order within a bucket is irrelevant here).
     """
     n, L = bucket_ids.shape
+    iota = jnp.arange(n, dtype=jnp.int32)
 
     def one_table(b):  # b: [n]
-        order = jnp.argsort(b)
-        sorted_b = b[order]
+        sorted_b, order = jax.lax.sort((b, iota), num_keys=1)
         starts = jnp.searchsorted(
             sorted_b, jnp.arange(n_buckets + 1, dtype=b.dtype), side="left"
         ).astype(jnp.int32)
-        return order.astype(jnp.int32), starts
+        return order, starts
 
     rows, starts = jax.vmap(one_table)(bucket_ids.T)
     return rows, starts
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "metric", "k", "L", "lsh_bucket_div", "euclidean_h_w", "use_pallas"
+    ),
+)
 def build_index(
     key: jax.Array,
     vectors: jax.Array,
@@ -116,6 +125,11 @@ def build_index(
     Hashing streams row chunks through lax.map so the [n, L*k] projection
     temporary never materializes (4+ GiB at 10M rows) — only the packed
     int32 outputs persist.
+
+    jit over the WHOLE build: on this testbed's remote-dispatch backend an
+    unjitted build pays per-op round-trip latency that dwarfs the compute
+    (measured 14.4 s eager vs 0.28 s for the same hash+sort under jit at
+    2M x 128).
     """
     n = vectors.shape[0]
     d = vectors.shape[1]
@@ -158,6 +172,7 @@ def build_index(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("dtype", "pad"))
 def pack_index(
     index: LshIndex,
     corpus: jax.Array,
@@ -503,7 +518,33 @@ def _retrieve_topk_block_packed(
     filtered: bool,
     block_rows: int = 128,
 ) -> Tuple[jax.Array, jax.Array]:
-    """retrieve_topk over the packed-slab layout (pack_index).
+    q_buckets, q_detailed = query_hashes(index, queries)
+    return packed_retrieve_core(
+        index.packed, index.packed_rows, index.packed_sqnorm,
+        index.packed_detailed if filtered else None,
+        index.bucket_starts, index.n_rows, index.metric,
+        queries, q_buckets, q_detailed, top_k, per_table, block_rows,
+    )
+
+
+def packed_retrieve_core(
+    packed: jax.Array,           # [L, n_pad, d] CSR-ordered corpus copies
+    packed_rows: jax.Array,      # [L, n_pad] int32, sentinel n past the end
+    packed_sqnorm: Optional[jax.Array],    # [L, n_pad] f32 (euclidean)
+    packed_detailed: Optional[jax.Array],  # [L, n_pad, k] (None = unfiltered)
+    bucket_starts: jax.Array,    # [L, n_buckets + 1]
+    n_rows: int,
+    metric: str,
+    queries: jax.Array,          # [q, d]
+    q_buckets: jax.Array,        # [q, L]
+    q_detailed: Optional[jax.Array],  # [q, L, k]
+    top_k: int,
+    per_table: int,
+    block_rows: int = 128,
+) -> Tuple[jax.Array, jax.Array]:
+    """retrieve_topk over the packed-slab layout (pack_index) — raw-array
+    core shared by the local index and the mp-sharded index (which runs it
+    per shard inside a shard_map with shard-local arrays).
 
     Each query/table window [s0, s0 + per_table) is covered by B ALIGNED
     W-row blocks of the CSR-ordered corpus copy, fetched with one batched
@@ -514,8 +555,8 @@ def _retrieve_topk_block_packed(
     and the two-stage dedup top-k match the unpacked path up to the packed
     dtype's rounding (usually bf16).
     """
-    L, n_pad, d = index.packed.shape
-    n = index.n_rows
+    L, n_pad, d = packed.shape
+    n = n_rows
     pad = n_pad - n
     W = block_rows
     while n_pad % W:  # pack_index pads to a 512 multiple
@@ -530,11 +571,10 @@ def _retrieve_topk_block_packed(
         )
     nblk = n_pad // W
     q = queries.shape[0]
-    q_buckets, q_detailed = query_hashes(index, queries)  # [q, L], [q, L, k]
 
     l_idx = jnp.arange(L, dtype=jnp.int32)
-    start = index.bucket_starts[l_idx[None, :], q_buckets]       # [q, L]
-    end = index.bucket_starts[l_idx[None, :], q_buckets + 1]
+    start = bucket_starts[l_idx[None, :], q_buckets]             # [q, L]
+    end = bucket_starts[l_idx[None, :], q_buckets + 1]
     size = end - start
     # same pseudo-random window offset as the unpacked path: keeps
     # per-table coverage of oversized buckets independent across tables
@@ -551,11 +591,11 @@ def _retrieve_topk_block_packed(
     pos = (blk[..., None] * W + jnp.arange(W, dtype=jnp.int32))   # [q, L, B, W]
     valid = (pos >= s0[..., None, None]) & (pos < lim[..., None, None])
 
-    cand = index.packed.reshape(nblk * L, W, d)[gidx]       # [q, L*B, W, d]
-    rows = index.packed_rows.reshape(nblk * L, W)[gidx]     # [q, L*B, W]
-    if filtered and index.packed_detailed is not None:
-        k = index.packed_detailed.shape[-1]
-        dblk = index.packed_detailed.reshape(nblk * L, W, k)[gidx]
+    cand = packed.reshape(nblk * L, W, d)[gidx]             # [q, L*B, W, d]
+    rows = packed_rows.reshape(nblk * L, W)[gidx]           # [q, L*B, W]
+    if packed_detailed is not None:
+        k = packed_detailed.shape[-1]
+        dblk = packed_detailed.reshape(nblk * L, W, k)[gidx]
         ok = jnp.all(
             dblk.reshape(q, L, B, W, k) == q_detailed[:, :, None, None, :],
             axis=-1,
@@ -563,17 +603,17 @@ def _retrieve_topk_block_packed(
         valid = valid & ok
 
     qv = queries.astype(jnp.float32)
-    if index.metric == "cosine":
+    if metric == "cosine":
         qv = qv / jnp.maximum(
             jnp.linalg.norm(qv, axis=1, keepdims=True), 1e-30
         )
     dots = jnp.einsum(
         "qd,qmwd->qmw", qv, cand, preferred_element_type=jnp.float32
     )
-    if index.metric == "cosine":
+    if metric == "cosine":
         score = dots  # packed rows are pre-normalized
     else:
-        sq = index.packed_sqnorm.reshape(nblk * L, W)[gidx]
+        sq = packed_sqnorm.reshape(nblk * L, W)[gidx]
         qsq = jnp.sum(qv * qv, axis=1)
         score = -jnp.sqrt(
             jnp.maximum(sq - 2.0 * dots + qsq[:, None, None], 0.0)

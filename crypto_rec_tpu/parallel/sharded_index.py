@@ -33,18 +33,27 @@ from crypto_rec_tpu.models.lsh.pstable import PStableLsh
 from crypto_rec_tpu.models.lsh.index import (
     _csr_from_buckets,
     gather_candidate_ids,
+    packed_retrieve_core,
 )
 
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=("family", "sorted_rows", "bucket_starts", "detailed"),
+    data_fields=(
+        "family", "sorted_rows", "bucket_starts", "detailed",
+        "packed", "packed_rows", "packed_sqnorm", "packed_detailed",
+    ),
     meta_fields=("metric", "n_buckets", "n_local", "n_shards"),
 )
 @dataclasses.dataclass
 class ShardedLshIndex:
     """Per-shard CSR tables.  sorted_rows/bucket_starts lead with the shard
-    axis and are placed with P("mp", ...); row ids inside are shard-LOCAL."""
+    axis and are placed with P("mp", ...); row ids inside are shard-LOCAL.
+
+    The optional packed fields are the per-shard packed-slab layout (see
+    models/lsh/index.pack_index): shard-local CSR-ordered corpus copies so
+    each shard's retrieval rides aligned-block DMA gathers instead of random
+    row gathers.  Built by pack_sharded_index."""
 
     metric: str
     n_buckets: int
@@ -54,6 +63,10 @@ class ShardedLshIndex:
     sorted_rows: jax.Array     # [S, L, n_local]
     bucket_starts: jax.Array   # [S, L, n_buckets + 1]
     detailed: Optional[jax.Array]  # [S, n_local, L, k] or None
+    packed: Optional[jax.Array] = None          # [S, L, n_local + pad, d]
+    packed_rows: Optional[jax.Array] = None     # [S, L, n_local + pad]
+    packed_sqnorm: Optional[jax.Array] = None   # [S, L, n_local + pad]
+    packed_detailed: Optional[jax.Array] = None  # [S, L, n_local + pad, k]
 
 
 def build_sharded_index(
@@ -114,8 +127,88 @@ def build_sharded_index(
     )
 
 
+def pack_sharded_index(
+    mesh: Mesh,
+    index: ShardedLshIndex,
+    corpus: jax.Array,   # [n, d] row-sharded over "mp" (the indexed rows)
+    dtype=jnp.bfloat16,
+    pad: int = 4096,
+) -> ShardedLshIndex:
+    """Per-shard packed-slab layout (models/lsh/index.pack_index, applied
+    shard-locally): each shard rewrites ITS corpus rows in CSR order so its
+    retrieval leg gathers aligned blocks at streaming bandwidth.  No
+    collectives — packing is as embarrassingly parallel as the build."""
+    n_local = index.n_local
+    L = index.sorted_rows.shape[1]
+    d = corpus.shape[1]
+    metric = index.metric
+    pad = -(n_local + pad) % 512 + pad  # align to the block grid
+    has_det = index.detailed is not None
+
+    def body(rows, corpus_blk, *rest):
+        rows = rows[0]                    # [L, n_local]
+
+        def one_table(r):
+            g = corpus_blk[r].astype(jnp.float32)
+            if metric == "cosine":
+                g = g / jnp.maximum(
+                    jnp.linalg.norm(g, axis=1, keepdims=True), 1e-30
+                )
+                s = jnp.zeros((r.shape[0],), jnp.float32)
+            else:
+                s = jnp.sum(g * g, axis=1)
+            return g.astype(dtype), s
+
+        packed, sq = jax.lax.map(one_table, rows)
+        packed = jnp.pad(packed, ((0, 0), (0, pad), (0, 0)))
+        prows = jnp.pad(rows, ((0, 0), (0, pad)), constant_values=n_local)
+        out = (packed[None], prows[None])
+        if metric == "euclidean":
+            out += (jnp.pad(sq, ((0, 0), (0, pad)))[None],)
+            if has_det:
+                det = rest[0][0]          # [n_local, L, k]
+
+                def one_det(args):
+                    r, l = args
+                    return det[r, l, :]
+
+                pd = jax.lax.map(
+                    one_det, (rows, jnp.arange(L, dtype=jnp.int32))
+                )
+                out += (jnp.pad(pd, ((0, 0), (0, pad), (0, 0)))[None],)
+        return out
+
+    in_specs = [P("mp", None, None), P("mp", None)]
+    args = [index.sorted_rows, corpus]
+    n_out = 2
+    if metric == "euclidean":
+        n_out += 1
+        if has_det:
+            in_specs.append(P("mp", None, None, None))
+            args.append(index.detailed)
+            n_out += 1
+    out_specs = (P("mp", *([None] * 3)), P("mp", None, None))
+    if n_out >= 3:
+        out_specs += (P("mp", None, None),)
+    if n_out == 4:
+        out_specs += (P("mp", *([None] * 3)),)
+    outs = jax.shard_map(
+        body, mesh=mesh, in_specs=tuple(in_specs), out_specs=out_specs,
+        check_vma=False,
+    )(*args)
+    kw = {"packed": outs[0], "packed_rows": outs[1]}
+    if metric == "euclidean":
+        kw["packed_sqnorm"] = outs[2]
+        if has_det:
+            kw["packed_detailed"] = outs[3]
+    return dataclasses.replace(index, **kw)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "budget", "per_table", "top_k", "filtered")
+    jax.jit,
+    static_argnames=(
+        "mesh", "budget", "per_table", "top_k", "filtered", "block_rows"
+    ),
 )
 def sharded_retrieve_topk(
     mesh: Mesh,
@@ -126,15 +219,68 @@ def sharded_retrieve_topk(
     top_k: int,
     per_table: int = 0,
     filtered: bool = True,
+    block_rows: int = 128,
 ) -> Tuple[jax.Array, jax.Array]:
     """-> (scores [q, top_k] descending, global row ids [q, top_k], -1 pad).
 
     Scores are cosine similarity (metric="cosine") or negated distance
     (metric="euclidean") so descending always means nearest-first.
+
+    With a packed index (pack_sharded_index) each shard's leg runs the
+    aligned-block packed_retrieve_core instead of random row gathers; the
+    all_gather top-k merge is identical.
     """
     metric = index.metric
     fam = index.family
     n_local = index.n_local
+
+    if index.packed is not None:
+        def body_packed(packed, prows, starts, *rest):
+            psq = pdet = None
+            i = 0
+            if metric == "euclidean":
+                psq = rest[i][0]
+                i += 1
+                if filtered and index.packed_detailed is not None:
+                    pdet = rest[i][0]
+                    i += 1
+            if metric == "cosine":
+                qb = fam.bucket_ids(queries)
+                qd = None
+            else:
+                qd = fam.hash_values(queries)
+                qb = fam.bucket_ids_from_hashes(qd, index.n_buckets)
+            loc_vals, loc_ids = packed_retrieve_core(
+                packed[0], prows[0], psq, pdet, starts[0], n_local, metric,
+                queries, qb, qd, top_k, per_table or budget, block_rows,
+            )
+            shard = jax.lax.axis_index("mp")
+            gids = jnp.where(loc_ids >= 0, loc_ids + shard * n_local, -1)
+            g_vals = jax.lax.all_gather(loc_vals, "mp", axis=1).reshape(
+                queries.shape[0], -1
+            )
+            g_ids = jax.lax.all_gather(gids, "mp", axis=1).reshape(
+                queries.shape[0], -1
+            )
+            vals, pos = jax.lax.top_k(g_vals, top_k)
+            ids = jnp.take_along_axis(g_ids, pos, axis=1)
+            return vals, jnp.where(vals > -jnp.inf, ids, -1)
+
+        in_specs = [
+            P("mp", *([None] * 3)), P("mp", None, None), P("mp", None, None),
+        ]
+        args = [index.packed, index.packed_rows, index.bucket_starts]
+        if metric == "euclidean":
+            in_specs.append(P("mp", None, None))
+            args.append(index.packed_sqnorm)
+            if filtered and index.packed_detailed is not None:
+                in_specs.append(P("mp", *([None] * 3)))
+                args.append(index.packed_detailed)
+        return jax.shard_map(
+            body_packed, mesh=mesh, in_specs=tuple(in_specs),
+            out_specs=(P(None, None), P(None, None)),
+            check_vma=False,
+        )(*args)
 
     def body(rows, starts, det, corpus_blk):
         # hash queries (replicated tiny compute)

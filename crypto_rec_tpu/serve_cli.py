@@ -34,6 +34,11 @@ def build_argparser() -> argparse.ArgumentParser:
     r.add_argument("--delimiter", default=",")
     r.add_argument("--top-k", type=int, default=10)
     r.add_argument("--per-table", type=int, default=256)
+    r.add_argument(
+        "--pack", action="store_true",
+        help="attach the packed-slab layout after restore (L extra bf16 "
+             "corpus copies for ~3.5x retrieval throughput)",
+    )
     r.add_argument("-o", dest="output", required=True)
 
     c = sub.add_parser("recommend")
@@ -65,6 +70,10 @@ def _retrieve(args) -> int:
         )
         return 1
     ids, queries = read_dense_vectors(args.queries, args.delimiter)
+    if args.pack:
+        from crypto_rec_tpu.models.lsh.index import pack_index
+
+        index = pack_index(index, corpus)
     t0 = time.perf_counter()
     scores, rows = retrieve_topk(
         index, jnp.asarray(queries), corpus,

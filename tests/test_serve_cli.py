@@ -76,3 +76,29 @@ def test_serve_recommend(tmp_path):
     lines = open(tmp_path / "rec.txt").read().splitlines()
     assert len(lines) > 10
     assert all(l.split()[0].startswith("user") for l in lines)
+
+
+def test_serve_retrieve_packed(tmp_path):
+    """--pack restores then packs; answers must match the unpacked serve."""
+    x = RNG.normal(size=(256, 16)).astype(np.float32)
+    index = build_index(
+        jax.random.PRNGKey(0), jnp.asarray(x), "cosine", 4, 4, 4, 1.0
+    )
+    save_index(str(tmp_path / "idx.npz"), index)
+    np.savez(tmp_path / "corpus.npz", vectors=x)
+    with open(tmp_path / "q.csv", "w") as f:
+        for i in range(8):
+            f.write(",".join([f"q{i}"] + [f"{v:.5f}" for v in x[i]]) + "\n")
+    base = [
+        "retrieve", "--index", str(tmp_path / "idx.npz"),
+        "--corpus", str(tmp_path / "corpus.npz"),
+        "--queries", str(tmp_path / "q.csv"), "--top-k", "3",
+    ]
+    assert main(base + ["-o", str(tmp_path / "plain.tsv")]) == 0
+    assert main(base + ["--pack", "-o", str(tmp_path / "packed.tsv")]) == 0
+    plain = [l.split("\t") for l in open(tmp_path / "plain.tsv")]
+    packed = [l.split("\t") for l in open(tmp_path / "packed.tsv")]
+    for p, g in zip(plain, packed):
+        assert p[0] == g[0]
+        # same neighbor ids (bf16 scores may differ in low digits)
+        assert [t.split(":")[0] for t in p[1:]] == [t.split(":")[0] for t in g[1:]]

@@ -77,3 +77,60 @@ def test_global_ids_cover_all_shards():
     )
     # self-retrieval: every row finds itself regardless of owning shard
     assert np.array_equal(np.asarray(ids)[:, 0], np.arange(n))
+
+
+def test_sharded_packed_matches_unpacked():
+    """pack_sharded_index + retrieval == the unpacked sharded path (f32
+    packing keeps scores bit-comparable for cosine)."""
+    from crypto_rec_tpu.parallel.sharded_index import pack_sharded_index
+
+    mesh = make_mesh((1, 8))
+    n, d, q = 8 * 256, 32, 48
+    corpus_np = _clustered(n, d)
+    corpus = shard_corpus(mesh, jnp.asarray(corpus_np))
+    queries = jnp.asarray(
+        corpus_np[:q] + 0.01 * RNG.normal(size=(q, d)).astype(np.float32)
+    )
+    index = build_sharded_index(mesh, KEY, corpus, "cosine", k=6, L=6)
+    pidx = pack_sharded_index(mesh, index, corpus, dtype=jnp.float32, pad=512)
+    ws, wi = sharded_retrieve_topk(
+        mesh, index, queries, corpus, budget=256, top_k=10, per_table=256
+    )
+    gs, gi = sharded_retrieve_topk(
+        mesh, pidx, queries, corpus, budget=256, top_k=10, per_table=256
+    )
+    ws, wi, gs, gi = map(np.asarray, (ws, wi, gs, gi))
+    mask = np.isfinite(ws)
+    np.testing.assert_allclose(gs[mask], ws[mask], atol=1e-4)
+    for qi in range(q):
+        want = set(wi[qi][wi[qi] >= 0].tolist())
+        got = set(gi[qi][gi[qi] >= 0].tolist())
+        assert len(want & got) >= len(want) - 1, (qi, want, got)
+
+
+def test_sharded_packed_euclidean_filtered():
+    """Packed sharded euclidean retrieval (detailed-tuple filter) finds the
+    same neighbors as the single-device packed index."""
+    from crypto_rec_tpu.models.lsh.index import (
+        build_index, pack_index, retrieve_topk,
+    )
+    from crypto_rec_tpu.parallel.sharded_index import pack_sharded_index
+
+    mesh = make_mesh((1, 8))
+    n, d, q = 8 * 128, 16, 32
+    corpus_np = _clustered(n, d, n_centers=16)
+    corpus = shard_corpus(mesh, jnp.asarray(corpus_np))
+    queries = jnp.asarray(corpus_np[:q])
+    index = build_sharded_index(
+        mesh, KEY, corpus, "euclidean", k=3, L=4,
+        lsh_bucket_div=4, euclidean_h_w=4.0,
+    )
+    pidx = pack_sharded_index(mesh, index, corpus, dtype=jnp.float32, pad=512)
+    vals, ids = sharded_retrieve_topk(
+        mesh, pidx, queries, corpus, budget=128, top_k=5, per_table=128
+    )
+    vals, ids = np.asarray(vals), np.asarray(ids)
+    # each query indexed its own row: top-1 must be itself at distance 0
+    assert np.array_equal(ids[:, 0], np.arange(q)), ids[:, 0]
+    np.testing.assert_allclose(vals[:, 0], 0.0, atol=2e-2)
+    assert np.all(np.diff(vals, axis=1) <= 1e-6)
