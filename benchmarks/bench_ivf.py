@@ -34,7 +34,9 @@ def main() -> None:
     K = int(os.environ.get("IVF_CLUSTERS", max(64, N // 1024)))
     NPROBE = int(os.environ.get("IVF_NPROBE", 16))
     TRAIN = int(os.environ.get("IVF_TRAIN", 1 << 18))
-    BF16 = os.environ.get("BENCH_BF16", "1" if N <= 4_000_000 else "0") == "1"
+    # bf16 blocks are built directly (cast fused into the packing gather),
+    # so they are safe — and necessary — at any scale
+    BF16 = os.environ.get("BENCH_BF16", "1") == "1"
 
     from crypto_rec_tpu.models.ivf import build_ivf, ivf_retrieve_topk
     from crypto_rec_tpu.ops.oracle import recall_at_k
@@ -52,6 +54,7 @@ def main() -> None:
     index = build_ivf(
         jax.random.PRNGKey(1), corpus, K, metric="cosine",
         max_iterations=8, train_rows=min(TRAIN, N),
+        block_dtype=jnp.bfloat16 if BF16 else None,
     )
     hard_sync(index.blocks)
     build_s = time.perf_counter() - t0
@@ -59,15 +62,6 @@ def main() -> None:
     log(f"ivf build (incl. compile): {build_s:.1f}s, capacity={cap}, "
         f"dropped={index.dropped_rows}, rows/query={NPROBE * cap}")
 
-    if BF16:
-        index = type(index)(
-            metric=index.metric, n_clusters=index.n_clusters,
-            capacity=index.capacity, n_rows=index.n_rows,
-            centroids=index.centroids,
-            blocks=index.blocks.astype(jnp.bfloat16),
-            block_rows=index.block_rows, row_ids=index.row_ids,
-            dropped_rows=index.dropped_rows,
-        )
 
     # nprobe sweep: the standard IVF quality/speed knob.  Report the fastest
     # operating point whose recall (verified against the planted truth)

@@ -59,8 +59,10 @@ class IvfIndex:
     row_ids: jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("n_clusters", "capacity"))
-def _pack_blocks(corpus, labels, n_clusters: int, capacity: int):
+@functools.partial(
+    jax.jit, static_argnames=("n_clusters", "capacity", "dtype")
+)
+def _pack_blocks(corpus, labels, n_clusters: int, capacity: int, dtype=None):
     """Device-side block packing under ONE jit dispatch (eager op-by-op
     dispatch costs ~1s/op on the remote-execution testbed): sort rows by
     cluster, scatter into capacity-padded slots (overflow to a dump slot
@@ -84,6 +86,10 @@ def _pack_blocks(corpus, labels, n_clusters: int, capacity: int):
     safe = jnp.maximum(row_ids, 0)
     blocks = corpus[safe]                            # [K, cap, d] device gather
     blocks = jnp.where(row_ids[:, :, None] >= 0, blocks, 0.0)
+    if dtype is not None:
+        # cast fuses into the gather under jit, so the f32 block tensor
+        # never materializes (10 GB at 10M rows)
+        blocks = blocks.astype(dtype)
     return row_ids, blocks
 
 
@@ -95,6 +101,7 @@ def build_ivf(
     max_iterations: int = 10,
     train_rows: int = 0,
     capacity: int = 0,
+    block_dtype=None,
 ) -> IvfIndex:
     """k-means partition + host-side block packing.
 
@@ -127,7 +134,9 @@ def build_ivf(
         capacity = -(-capacity // 8) * 8
     dropped = int(np.maximum(counts - capacity, 0).sum())
 
-    row_ids, blocks = _pack_blocks(corpus, labels, n_clusters, capacity)
+    row_ids, blocks = _pack_blocks(
+        corpus, labels, n_clusters, capacity, block_dtype
+    )
     return IvfIndex(
         metric=metric,
         n_clusters=n_clusters,

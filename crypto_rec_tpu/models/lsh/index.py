@@ -298,12 +298,19 @@ def _dedup_rank_fixed(
     """
     m = ids.shape[0]
     s = jnp.sort(ids)
+    iota = jnp.arange(m, dtype=jnp.int32)
     first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
-    seg = jnp.cumsum(first) - 1
-    counts = jax.ops.segment_sum(
-        jnp.ones_like(s, jnp.float32), seg, num_segments=m
+    last = jnp.concatenate([s[:-1] != s[1:], jnp.ones((1,), bool)])
+    # occurrences of each value by run length in the sorted array: the
+    # run's span comes from two cumulative scans (start = running max of
+    # first-positions, end = right-to-left running min of last-positions) —
+    # no scatter (segment_sum) and no per-element binary search
+    # (searchsorted), both of which measure ~10x slower here
+    run_start = jax.lax.cummax(jnp.where(first, iota, 0))
+    run_end = jax.lax.cummin(
+        jnp.where(last, iota, m - 1), reverse=True
     )
-    cnt = counts[seg]
+    cnt = (run_end - run_start + 1).astype(jnp.float32)
     valid_first = first & (s != sentinel)
     # composite key: count desc, then row id asc (ties broken stably)
     key = jnp.where(
