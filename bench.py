@@ -147,13 +147,17 @@ def main() -> None:
     # dynamic-slice DMAs.  Costs L extra bf16 corpus copies, so gate on HBM:
     # ~6 GiB of slabs still leaves room for the f32 corpus + oracle blocks
     # on a 16 GiB chip.
-    packed_bytes = L * (N + 4096) * D * (2 if BF16 else 4)
+    pack_dtype = {
+        "int8": jnp.int8, "bfloat16": jnp.bfloat16, "float32": jnp.float32,
+    }[os.environ.get(
+        "BENCH_PACK_DTYPE", "bfloat16" if BF16 else "float32"
+    )]
+    packed_bytes = L * (N + 4096) * D * jnp.dtype(pack_dtype).itemsize
     PACK = os.environ.get(
         "BENCH_PACK", "1" if packed_bytes <= 6_000_000_000 else "0"
     ) == "1"
     pack_s = 0.0
     if PACK:
-        pack_dtype = jnp.bfloat16 if BF16 else jnp.float32
         t0 = time.perf_counter()
         index = pack_index(index, corpus, dtype=pack_dtype)
         hard_sync(jax.tree_util.tree_leaves(index))
@@ -225,6 +229,7 @@ def main() -> None:
         "per_table_window": PT,
         "bf16_scoring": BF16,
         "packed_slabs": PACK,
+        "pack_dtype": pack_dtype.__name__ if PACK else None,
         "pack_s": round(pack_s, 3),
         "platform": dev.platform,
     }))

@@ -104,7 +104,7 @@ def index_nbytes(index: LshIndex) -> int:
     for arr in (
         index.bucket_ids, index.sorted_rows, index.bucket_starts, index.detailed,
         index.packed, index.packed_rows, index.packed_sqnorm,
-        index.packed_detailed,
+        index.packed_detailed, index.packed_scale,
     ):
         if arr is not None:
             total += arr.size * arr.dtype.itemsize

@@ -37,6 +37,7 @@ from crypto_rec_tpu.models.lsh.pstable import PStableLsh
     data_fields=(
         "family", "bucket_ids", "detailed", "sorted_rows", "bucket_starts",
         "packed", "packed_rows", "packed_sqnorm", "packed_detailed",
+        "packed_scale",
     ),
     meta_fields=("metric", "n_buckets", "n_rows"),
 )
@@ -72,6 +73,9 @@ class LshIndex:
     packed_rows: Optional[jax.Array] = None
     packed_sqnorm: Optional[jax.Array] = None
     packed_detailed: Optional[jax.Array] = None
+    # int8-quantized slabs only: per-row dequant scale [L, n + pad] f32
+    # (row ≈ packed * scale; halves the query-time gather bytes vs bf16)
+    packed_scale: Optional[jax.Array] = None
 
 
 def _csr_from_buckets(bucket_ids: jax.Array, n_buckets: int) -> Tuple[jax.Array, jax.Array]:
@@ -195,9 +199,16 @@ def pack_index(
 
     `pad` trailing sentinel rows let any window start up to n without
     clamping; retrieve asserts per_table <= pad.
+
+    dtype=jnp.int8 stores symmetric per-row quantized slabs plus a
+    `packed_scale` dequant factor (row ≈ packed * scale): half the bf16
+    gather bytes on the retrieval hot path for ~1/254 max-relative rounding
+    per element — recall-neutral in practice (tests compare against the
+    unpacked path).
     """
     L, n = index.sorted_rows.shape
     d = corpus.shape[1]
+    quantized = jnp.issubdtype(jnp.dtype(dtype), jnp.integer)
 
     def one_table(rows):
         g = corpus[rows].astype(jnp.float32)
@@ -208,10 +219,15 @@ def pack_index(
             sq = jnp.zeros((rows.shape[0],), jnp.float32)
         else:
             sq = jnp.sum(g * g, axis=1)
-        return g.astype(dtype), sq
+        if quantized:
+            amax = jnp.max(jnp.abs(g), axis=1, keepdims=True)
+            scale = jnp.maximum(amax, 1e-30) / 127.0
+            qg = jnp.clip(jnp.round(g / scale), -127, 127).astype(dtype)
+            return qg, sq, scale[:, 0]
+        return g.astype(dtype), sq, jnp.ones((rows.shape[0],), jnp.float32)
 
     # sequential over tables: bounds the f32 intermediate to one [n, d]
-    packed, sq = jax.lax.map(one_table, index.sorted_rows)
+    packed, sq, scale = jax.lax.map(one_table, index.sorted_rows)
     # round the padded length to a 512 multiple: the packed retrieve path
     # gathers W-row ALIGNED blocks (W in {128, 256, 512} dividing n + pad),
     # which XLA lowers to wide contiguous DMAs — unaligned window slices
@@ -222,6 +238,10 @@ def pack_index(
         index.sorted_rows, ((0, 0), (0, pad)), constant_values=n
     )
     kw: dict = {"packed": packed, "packed_rows": packed_rows}
+    if quantized:
+        kw["packed_scale"] = jnp.pad(
+            scale, ((0, 0), (0, pad)), constant_values=1.0
+        )
     if index.metric == "euclidean":
         kw["packed_sqnorm"] = jnp.pad(sq, ((0, 0), (0, pad)))
         if index.detailed is not None:
@@ -458,7 +478,7 @@ def _retrieve_topk_block(
 ) -> Tuple[jax.Array, jax.Array]:
     if index.packed is not None:
         return _retrieve_topk_block_packed(
-            index, queries, top_k, per_table, filtered, block_rows
+            index, queries, corpus, top_k, per_table, filtered, block_rows
         )
     L = index.bucket_ids.shape[1]
     q_buckets, q_detailed = query_hashes(index, queries)
@@ -520,18 +540,55 @@ def _retrieve_topk_block(
 def _retrieve_topk_block_packed(
     index: LshIndex,
     queries: jax.Array,
+    corpus: jax.Array,
     top_k: int,
     per_table: int,
     filtered: bool,
     block_rows: int = 128,
 ) -> Tuple[jax.Array, jax.Array]:
     q_buckets, q_detailed = query_hashes(index, queries)
-    return packed_retrieve_core(
+    quantized = index.packed_scale is not None
+    # int8 slabs: over-fetch 4x, then rescore the survivors exactly so
+    # quantization cannot permute the final top-k (see rerank_exact)
+    core_k = min(4 * top_k, index.sorted_rows.shape[0] * top_k) if quantized else top_k
+    s, ids = packed_retrieve_core(
         index.packed, index.packed_rows, index.packed_sqnorm,
         index.packed_detailed if filtered else None,
         index.bucket_starts, index.n_rows, index.metric,
-        queries, q_buckets, q_detailed, top_k, per_table, block_rows,
+        queries, q_buckets, q_detailed, core_k, per_table, block_rows,
+        packed_scale=index.packed_scale,
     )
+    if not quantized:
+        return s, ids
+    return rerank_exact(corpus, index.metric, queries, ids, top_k)
+
+
+def rerank_exact(
+    corpus: jax.Array,    # [n, d] full-precision rows
+    metric: str,
+    queries: jax.Array,   # [q, d]
+    ids: jax.Array,       # [q, m] candidate row ids, -1 pad
+    top_k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact rescoring of a small candidate list (the int8 slab path's
+    second stage): one [q, m, d] row gather + one einsum — m is ~4*top_k,
+    so this is noise next to the slab gather it corrects."""
+    valid = ids >= 0
+    safe = jnp.maximum(ids, 0)
+    cand = corpus[safe].astype(jnp.float32)          # [q, m, d]
+    qv = queries.astype(jnp.float32)
+    if metric == "cosine":
+        qn = qv / jnp.maximum(jnp.linalg.norm(qv, axis=1, keepdims=True), 1e-30)
+        dots = jnp.einsum("qd,qmd->qm", qn, cand, preferred_element_type=jnp.float32)
+        cn = jnp.linalg.norm(cand, axis=2)
+        score = dots / jnp.maximum(cn, 1e-30)
+    else:
+        diff = cand - qv[:, None, :]
+        score = -jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=2), 0.0))
+    score = jnp.where(valid, score, -jnp.inf)
+    s, pos = jax.lax.top_k(score, top_k)
+    out = jnp.take_along_axis(ids, pos, axis=1)
+    return s, jnp.where(s > -jnp.inf, out, -1)
 
 
 def packed_retrieve_core(
@@ -548,6 +605,7 @@ def packed_retrieve_core(
     top_k: int,
     per_table: int,
     block_rows: int = 128,
+    packed_scale: Optional[jax.Array] = None,  # [L, n_pad] f32 (int8 slabs)
 ) -> Tuple[jax.Array, jax.Array]:
     """retrieve_topk over the packed-slab layout (pack_index) — raw-array
     core shared by the local index and the mp-sharded index (which runs it
@@ -614,9 +672,15 @@ def packed_retrieve_core(
         qv = qv / jnp.maximum(
             jnp.linalg.norm(qv, axis=1, keepdims=True), 1e-30
         )
+    if jnp.issubdtype(packed.dtype, jnp.integer):
+        # int8 slab: MXU-friendly bf16 upcast (exact for |v| <= 127), then
+        # per-row dequant of the dot — the HBM read stays 1 byte/element
+        cand = cand.astype(jnp.bfloat16)
     dots = jnp.einsum(
         "qd,qmwd->qmw", qv, cand, preferred_element_type=jnp.float32
     )
+    if packed_scale is not None:
+        dots = dots * packed_scale.reshape(nblk * L, W)[gidx]
     if metric == "cosine":
         score = dots  # packed rows are pre-normalized
     else:

@@ -34,6 +34,7 @@ from crypto_rec_tpu.models.lsh.index import (
     _csr_from_buckets,
     gather_candidate_ids,
     packed_retrieve_core,
+    rerank_exact,
 )
 
 
@@ -42,6 +43,7 @@ from crypto_rec_tpu.models.lsh.index import (
     data_fields=(
         "family", "sorted_rows", "bucket_starts", "detailed",
         "packed", "packed_rows", "packed_sqnorm", "packed_detailed",
+        "packed_scale",
     ),
     meta_fields=("metric", "n_buckets", "n_local", "n_shards"),
 )
@@ -67,6 +69,7 @@ class ShardedLshIndex:
     packed_rows: Optional[jax.Array] = None     # [S, L, n_local + pad]
     packed_sqnorm: Optional[jax.Array] = None   # [S, L, n_local + pad]
     packed_detailed: Optional[jax.Array] = None  # [S, L, n_local + pad, k]
+    packed_scale: Optional[jax.Array] = None     # [S, L, n_local + pad] (int8)
 
 
 def build_sharded_index(
@@ -144,6 +147,7 @@ def pack_sharded_index(
     metric = index.metric
     pad = -(n_local + pad) % 512 + pad  # align to the block grid
     has_det = index.detailed is not None
+    quantized = jnp.issubdtype(jnp.dtype(dtype), jnp.integer)
 
     def body(rows, corpus_blk, *rest):
         rows = rows[0]                    # [L, n_local]
@@ -157,12 +161,21 @@ def pack_sharded_index(
                 s = jnp.zeros((r.shape[0],), jnp.float32)
             else:
                 s = jnp.sum(g * g, axis=1)
-            return g.astype(dtype), s
+            if quantized:
+                amax = jnp.max(jnp.abs(g), axis=1, keepdims=True)
+                scale = jnp.maximum(amax, 1e-30) / 127.0
+                g = jnp.clip(jnp.round(g / scale), -127, 127)
+                return g.astype(dtype), s, scale[:, 0]
+            return g.astype(dtype), s, jnp.ones((r.shape[0],), jnp.float32)
 
-        packed, sq = jax.lax.map(one_table, rows)
+        packed, sq, scale = jax.lax.map(one_table, rows)
         packed = jnp.pad(packed, ((0, 0), (0, pad), (0, 0)))
         prows = jnp.pad(rows, ((0, 0), (0, pad)), constant_values=n_local)
         out = (packed[None], prows[None])
+        if quantized:
+            out += (jnp.pad(
+                scale, ((0, 0), (0, pad)), constant_values=1.0
+            )[None],)
         if metric == "euclidean":
             out += (jnp.pad(sq, ((0, 0), (0, pad)))[None],)
             if has_det:
@@ -180,28 +193,25 @@ def pack_sharded_index(
 
     in_specs = [P("mp", None, None), P("mp", None)]
     args = [index.sorted_rows, corpus]
-    n_out = 2
+    # outputs, in body's emission order: packed, rows, [scale], [sq, [det]]
+    fields = ["packed", "packed_rows"]
+    out_specs = (P("mp", *([None] * 3)), P("mp", None, None))
+    if quantized:
+        fields.append("packed_scale")
+        out_specs += (P("mp", None, None),)
     if metric == "euclidean":
-        n_out += 1
+        fields.append("packed_sqnorm")
+        out_specs += (P("mp", None, None),)
         if has_det:
             in_specs.append(P("mp", None, None, None))
             args.append(index.detailed)
-            n_out += 1
-    out_specs = (P("mp", *([None] * 3)), P("mp", None, None))
-    if n_out >= 3:
-        out_specs += (P("mp", None, None),)
-    if n_out == 4:
-        out_specs += (P("mp", *([None] * 3)),)
+            fields.append("packed_detailed")
+            out_specs += (P("mp", *([None] * 3)),)
     outs = jax.shard_map(
         body, mesh=mesh, in_specs=tuple(in_specs), out_specs=out_specs,
         check_vma=False,
     )(*args)
-    kw = {"packed": outs[0], "packed_rows": outs[1]}
-    if metric == "euclidean":
-        kw["packed_sqnorm"] = outs[2]
-        if has_det:
-            kw["packed_detailed"] = outs[3]
-    return dataclasses.replace(index, **kw)
+    return dataclasses.replace(index, **dict(zip(fields, outs)))
 
 
 @functools.partial(
@@ -235,25 +245,42 @@ def sharded_retrieve_topk(
     n_local = index.n_local
 
     if index.packed is not None:
+        quantized = index.packed_scale is not None
+
         def body_packed(packed, prows, starts, *rest):
-            psq = pdet = None
+            psq = pdet = pscale = None
             i = 0
+            if quantized:
+                pscale = rest[i][0]
+                i += 1
             if metric == "euclidean":
                 psq = rest[i][0]
                 i += 1
                 if filtered and index.packed_detailed is not None:
                     pdet = rest[i][0]
                     i += 1
+            # corpus is [n, d] sharded over rows -> the block is already
+            # [n_local, d] (no leading shard axis to strip)
+            corpus_blk = rest[i] if quantized else None
             if metric == "cosine":
                 qb = fam.bucket_ids(queries)
                 qd = None
             else:
                 qd = fam.hash_values(queries)
                 qb = fam.bucket_ids_from_hashes(qd, index.n_buckets)
+            core_k = min(4 * top_k, n_local) if quantized else top_k
             loc_vals, loc_ids = packed_retrieve_core(
                 packed[0], prows[0], psq, pdet, starts[0], n_local, metric,
-                queries, qb, qd, top_k, per_table or budget, block_rows,
+                queries, qb, qd, core_k, per_table or budget, block_rows,
+                packed_scale=pscale,
             )
+            if quantized:
+                # exact f32 rescoring of the shard-local survivors (see
+                # models/lsh/index.rerank_exact): quantization cannot
+                # permute the merged global top-k
+                loc_vals, loc_ids = rerank_exact(
+                    corpus_blk, metric, queries, loc_ids, min(top_k, core_k)
+                )
             shard = jax.lax.axis_index("mp")
             gids = jnp.where(loc_ids >= 0, loc_ids + shard * n_local, -1)
             g_vals = jax.lax.all_gather(loc_vals, "mp", axis=1).reshape(
@@ -270,12 +297,18 @@ def sharded_retrieve_topk(
             P("mp", *([None] * 3)), P("mp", None, None), P("mp", None, None),
         ]
         args = [index.packed, index.packed_rows, index.bucket_starts]
+        if index.packed_scale is not None:
+            in_specs.append(P("mp", None, None))
+            args.append(index.packed_scale)
         if metric == "euclidean":
             in_specs.append(P("mp", None, None))
             args.append(index.packed_sqnorm)
             if filtered and index.packed_detailed is not None:
                 in_specs.append(P("mp", *([None] * 3)))
                 args.append(index.packed_detailed)
+        if quantized:
+            in_specs.append(P("mp", None))
+            args.append(corpus)
         return jax.shard_map(
             body_packed, mesh=mesh, in_specs=tuple(in_specs),
             out_specs=(P(None, None), P(None, None)),

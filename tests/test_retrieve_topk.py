@@ -147,3 +147,72 @@ def test_packed_rejects_oversized_window():
     pidx = pack_index(idx, x, pad=16)  # rounded up to a 512 multiple -> 384
     with pytest.raises(ValueError, match="per_table"):
         retrieve_topk(pidx, x[:4], x, top_k=3, per_table=200)
+
+
+def test_packed_int8_matches_unpacked():
+    """int8 quantized slabs: same top-k ids (set-wise) as the unpacked f32
+    path, scores within symmetric-quantization error (|err| per element
+    <= scale/2 = max|row|/254, so dot error ~ d * qerr * |q|)."""
+    from crypto_rec_tpu.models.lsh.index import pack_index
+
+    for metric in ("cosine", "euclidean"):
+        x = jnp.asarray(_clustered(512, 16, n_centers=24))
+        q = x[:64]
+        idx = build_index(
+            KEY, x, metric, k=4, L=5, lsh_bucket_div=6, euclidean_h_w=2.0
+        )
+        pidx = pack_index(idx, x, dtype=jnp.int8, pad=256)
+        assert pidx.packed.dtype == jnp.int8
+        assert pidx.packed_scale is not None
+        ws, wi = retrieve_topk(idx, q, x, top_k=8, per_table=128)
+        gs, gi = retrieve_topk(pidx, q, x, top_k=8, per_table=128)
+        ws, wi, gs, gi = map(np.asarray, (ws, wi, gs, gi))
+        mask = np.isfinite(ws)
+        x64 = np.asarray(x, np.float64)
+        # symmetric per-row quantization error bound: |row_hat - row| <=
+        # scale/2 elementwise with scale = max|row|/127, so
+        # |q.(row_hat - row)| <= ||q||_1 * max_scale / 2.
+        if metric == "cosine":
+            dot_err = np.abs(x64 / np.linalg.norm(x64, axis=1, keepdims=True))
+            dot_err = dot_err.sum(axis=1).max() * (1.0 / 127.0) / 2
+            atol = float(dot_err) + 1e-3
+            np.testing.assert_allclose(gs[mask], ws[mask], atol=atol)
+        else:
+            # distances compare in SQUARED space (sqrt amplifies the error
+            # bound without limit as the distance -> 0)
+            max_scale = np.abs(x64).max(axis=1).max() / 127.0
+            sq_err = np.abs(x64[:64]).sum(axis=1).max() * max_scale + 1e-2
+            np.testing.assert_allclose(
+                gs[mask] ** 2, ws[mask] ** 2, atol=float(sq_err)
+            )
+            atol = None
+        # quantization permutes genuine near-ties (clustered rows are ~tied
+        # within the quantization step), so assert neighbor QUALITY instead
+        # of id identity: every returned id's exact f64 score must reach the
+        # unpacked path's worst returned score, minus the error bound.
+        for qi in range(wi.shape[0]):
+            floor = ws[qi][np.isfinite(ws[qi])].min()
+            for c in gi[qi][gi[qi] >= 0]:
+                if metric == "cosine":
+                    s = x64[qi] @ x64[c] / (
+                        np.linalg.norm(x64[qi]) * np.linalg.norm(x64[c])
+                    )
+                    assert s >= floor - atol, (metric, qi, int(c), s, floor)
+                else:
+                    s_sq = float(np.sum((x64[qi] - x64[c]) ** 2))
+                    assert s_sq <= floor**2 + sq_err, (
+                        metric, qi, int(c), s_sq, floor**2
+                    )
+
+
+def test_packed_int8_recall():
+    """Recall vs the EXACT f32 oracle survives int8 slab quantization."""
+    from crypto_rec_tpu.models.lsh.index import pack_index
+
+    x = jnp.asarray(_clustered(2048, 24, n_centers=64))
+    idx = build_index(KEY, x, "cosine", k=7, L=8, lsh_bucket_div=4, euclidean_h_w=1.0)
+    pidx = pack_index(idx, x, dtype=jnp.int8, pad=256)
+    _s, ids = retrieve_topk(pidx, x, x, top_k=10, per_table=128)
+    _d, true_idx = exact_nearest(x, x, "cosine", 10)
+    r = float(recall_at_k(ids, true_idx))
+    assert r > 0.95, r

@@ -134,3 +134,39 @@ def test_sharded_packed_euclidean_filtered():
     assert np.array_equal(ids[:, 0], np.arange(q)), ids[:, 0]
     np.testing.assert_allclose(vals[:, 0], 0.0, atol=2e-2)
     assert np.all(np.diff(vals, axis=1) <= 1e-6)
+
+
+def test_sharded_packed_int8_rerank_matches_unpacked():
+    """int8 sharded slabs + shard-local exact rerank: the merged global
+    top-k matches the unpacked sharded path — the rerank rescores in f32,
+    so only a true neighbor missing from the 4x-overfetched survivor set
+    (not mere quantization rounding) could differ, and scores of returned
+    ids are exact."""
+    from crypto_rec_tpu.parallel.sharded_index import pack_sharded_index
+
+    mesh = make_mesh((1, 8))
+    n, d, q = 8 * 256, 32, 48
+    corpus_np = _clustered(n, d)
+    corpus = shard_corpus(mesh, jnp.asarray(corpus_np))
+    queries = jnp.asarray(
+        corpus_np[:q] + 0.01 * RNG.normal(size=(q, d)).astype(np.float32)
+    )
+    index = build_sharded_index(mesh, KEY, corpus, "cosine", k=6, L=6)
+    pidx = pack_sharded_index(mesh, index, corpus, dtype=jnp.int8, pad=512)
+    assert pidx.packed.dtype == jnp.int8 and pidx.packed_scale is not None
+    ws, wi = sharded_retrieve_topk(
+        mesh, index, queries, corpus, budget=256, top_k=10, per_table=256
+    )
+    gs, gi = sharded_retrieve_topk(
+        mesh, pidx, queries, corpus, budget=256, top_k=10, per_table=256
+    )
+    ws, wi, gs, gi = map(np.asarray, (ws, wi, gs, gi))
+    # rerank scores are exact f32 — returned (id -> score) pairs must agree
+    # with the unpacked path wherever the ids coincide
+    for qi in range(q):
+        want = {int(i): float(s) for i, s in zip(wi[qi], ws[qi]) if i >= 0}
+        got = {int(i): float(s) for i, s in zip(gi[qi], gs[qi]) if i >= 0}
+        shared = set(want) & set(got)
+        assert len(shared) >= len(want) - 1, (qi, want, got)
+        for c in shared:
+            assert abs(want[c] - got[c]) < 1e-4, (qi, c, want[c], got[c])
