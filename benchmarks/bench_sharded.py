@@ -28,19 +28,32 @@ def main() -> None:
     ap.add_argument("--queries", type=int, default=2048)
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--top-p", type=int, default=16)
-    ap.add_argument("--cpu", action="store_true", default=None,
+    ap.add_argument("--cpu", action="store_true", default=False,
                     help="force the simulated CPU mesh (default when <2 real devices)")
     args = ap.parse_args()
 
-    import jax
-from crypto_rec_tpu.utils.timing import hard_sync
-
-    if args.cpu or len(jax.devices()) < 2:
+    # The platform choice must land BEFORE the first backend initialization
+    # (XLA reads --xla_force_host_platform_device_count at CPU client
+    # creation), so set env first and, in the auto-detect case, re-exec.
+    if args.cpu:
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")
             + f" --xla_force_host_platform_device_count={args.devices}"
         ).strip()
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+
+    if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    elif len(jax.devices()) < 2:
+        print("<2 real devices: re-running on the simulated CPU mesh",
+              file=sys.stderr)
+        os.execv(sys.executable,
+                 [sys.executable, os.path.abspath(__file__)]
+                 + sys.argv[1:] + ["--cpu"])
+
+    from crypto_rec_tpu.utils.timing import hard_sync
 
     import jax.numpy as jnp
     import numpy as np
