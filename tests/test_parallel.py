@@ -96,3 +96,84 @@ def test_route_queries_selective_destinations():
         cap=q,
     )
     np.testing.assert_array_equal(np.asarray(gids)[:, 0], target_rows)
+
+
+def test_routed_retrieve_topk_recall_and_accounting():
+    """The closed all-to-all loop: dest_mask derived from query LSH buckets
+    over a bucket-owner-partitioned corpus (VERDICT r1 #3)."""
+    from crypto_rec_tpu.models.lsh.index import build_index, candidate_mask
+    from crypto_rec_tpu.ops.oracle import recall_at_k
+    from crypto_rec_tpu.parallel.routing import routed_retrieve_topk
+
+    mesh = make_mesh((1, 8), axis_names=("dp", "mp"))
+    rng = np.random.default_rng(11)
+    n, q, d, top_k = 4096, 64, 32, 10
+    corpus = rng.normal(size=(n, d)).astype(np.float32)
+    # queries = perturbed corpus rows so the top-1 neighbor is planted
+    target = rng.choice(n, size=q, replace=False)
+    queries = corpus[target] + 1e-3 * rng.normal(size=(q, d)).astype(np.float32)
+
+    index = build_index(
+        jax.random.PRNGKey(3), jnp.asarray(corpus), "cosine",
+        k=6, L=6, lsh_bucket_div=4, euclidean_h_w=1.0,
+    )
+    vals, gids, stats = routed_retrieve_topk(
+        mesh, index, jnp.asarray(queries), jnp.asarray(corpus), top_k=top_k
+    )
+    vals, gids = np.asarray(vals), np.asarray(gids)
+
+    # planted top-1 must be found (it collides in every table)
+    assert (gids[:, 0] == target).all()
+    # default cap => no overflow; replication factor bounded by L
+    assert stats["dropped_requests"] == 0
+    assert stats["replication_factor"] <= 6.0
+    assert 1.0 <= stats["mean_destinations_per_query"] <= 8.0
+    # scores strictly descending (dedup worked: no repeated ids)
+    for row in gids:
+        real = row[row >= 0]
+        assert len(set(real.tolist())) == len(real)
+
+    # LSH-union guarantee: the routed shard-resident sets are a SUPERSET of
+    # the L-table bucket collisions, so routed top-k scores must dominate
+    # the dense-mask candidate path's top-k rank-for-rank.
+    mask = np.asarray(candidate_mask(index, jnp.asarray(queries)))
+    sims = (queries / np.linalg.norm(queries, axis=1, keepdims=True)) @ (
+        corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+    ).T
+    masked = np.where(mask, sims, -np.inf)
+    ref_top = -np.sort(-masked, axis=1)[:, :top_k]
+    # routed scores are negated cosine DISTANCES (cos - 1); shift to sims
+    got = np.where(gids >= 0, vals + 1.0, -np.inf)
+    assert (got + 1e-5 >= ref_top).all()
+
+    # oracle recall, for the record (brute-force residents make it generous)
+    from crypto_rec_tpu.ops.oracle import exact_nearest
+
+    _ed, eidx = exact_nearest(jnp.asarray(queries), jnp.asarray(corpus), "cosine", top_k)
+    recall = float(recall_at_k(jnp.asarray(gids), eidx))
+    assert recall >= 0.8
+
+
+def test_routed_retrieve_topk_overflow_accounted():
+    """A starved capacity must be REPORTED, not silent."""
+    from crypto_rec_tpu.models.lsh.index import build_index
+    from crypto_rec_tpu.parallel.routing import routed_retrieve_topk
+
+    mesh = make_mesh((1, 8), axis_names=("dp", "mp"))
+    rng = np.random.default_rng(5)
+    n, q, d = 1024, 64, 16
+    corpus = rng.normal(size=(n, d)).astype(np.float32)
+    queries = rng.normal(size=(q, d)).astype(np.float32)
+    index = build_index(
+        jax.random.PRNGKey(1), jnp.asarray(corpus), "cosine",
+        k=3, L=8, lsh_bucket_div=4, euclidean_h_w=1.0,
+    )
+    # k=3 -> 8 buckets over 8 shards: nearly every query wants every shard;
+    # cap=1 必 drops requests
+    vals, gids, stats = routed_retrieve_topk(
+        mesh, index, jnp.asarray(queries), jnp.asarray(corpus), top_k=5, cap=1
+    )
+    assert stats["dropped_requests"] > 0
+    assert stats["total_requests"] >= stats["dropped_requests"]
+    # results still well-formed
+    assert np.asarray(gids).shape == (q, 5)
