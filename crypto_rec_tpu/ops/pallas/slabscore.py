@@ -9,10 +9,19 @@ traffic of the slab bytes themselves, and the per-query matvec einsum
 cannot amortize it.
 
 This kernel removes the round trip: for each (query, table) the bucket
-window is DMA'd HBM -> VMEM (pl.ds dynamic start at row granularity — no
-block alignment, no B/W over-fetch) and dotted against the query vector
-while the next window's DMA is already in flight (NBUF-deep pipeline).
-Only the [q, L, win] dot products and row ids ever touch HBM.
+window is DMA'd HBM -> VMEM and dotted against the query vector while the
+next window's DMA is already in flight (NBUF-deep pipeline).  Only the
+[q, L, win] dot products ever touch HBM; candidate row ids are recovered
+OUTSIDE the kernel by gathering packed_rows at just the top-k survivors'
+positions (slab_topk) — 4 bytes x L*top_k per query instead of a third DMA
+stream per window.
+
+Mosaic constraint that shaped the design: a dynamic-start HBM->VMEM DMA
+must start at a sublane-tile boundary (8 rows f32 / 16 bf16 / 32 int8).
+Window starts are therefore aligned DOWN to _ALIGN=32 rows host-side (the
+`pl.multiple_of` hint carries the proof into the kernel) and the window is
+widened by one extra 128 block; a per-window `head` offset masks the
+[0, head) prefix.
 
 Supports the bf16 and int8-quantized slab layouts (int8 windows carry a
 per-row dequant scale).  Cosine only: rows are pre-normalized by
@@ -31,30 +40,28 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_ALIGN = 32  # covers the sublane tile of f32 (8), bf16 (16), and int8 (32)
+
 
 def _make_kernel(L: int, win: int, d: int, qt: int, quantized: bool,
                  nbuf: int = 4):
-    def kernel(meta_ref, packed_hbm, rows_hbm, scale_hbm, q_ref,
-               dots_ref, ids_ref, slab, rowsb, scaleb, sem_s, sem_r, sem_c):
+    def kernel(meta_ref, packed_hbm, scale_hbm, q_ref, dots_ref,
+               slab, scaleb, sem_s, sem_c):
         total = qt * L
 
         def dmas(slot, w):
             qi = w // L
             l = w % L
-            start = meta_ref[qi, l]
+            start = pl.multiple_of(meta_ref[qi, l], _ALIGN)
             out = [
                 pltpu.make_async_copy(
                     packed_hbm.at[pl.ds(start, win), :],
                     slab.at[slot], sem_s.at[slot],
                 ),
-                pltpu.make_async_copy(
-                    rows_hbm.at[pl.ds(start, win)],
-                    rowsb.at[slot], sem_r.at[slot],
-                ),
             ]
             if quantized:
                 out.append(pltpu.make_async_copy(
-                    scale_hbm.at[pl.ds(start, win)],
+                    scale_hbm.at[pl.ds(start, win), :],
                     scaleb.at[slot], sem_c.at[slot],
                 ))
             return out
@@ -89,12 +96,12 @@ def _make_kernel(L: int, win: int, d: int, qt: int, quantized: bool,
                 preferred_element_type=jnp.float32,
             )[:, 0]                                          # [win]
             if quantized:
-                dots = dots * scaleb[slot]
-            size = meta_ref[qi, L + l]
+                dots = dots * scaleb[slot][:, 0]
+            head = meta_ref[qi, L + l]
+            size = meta_ref[qi, 2 * L + l]
             lane = jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)[:, 0]
-            valid = lane < size
+            valid = (lane >= head) & (lane < head + size)
             dots_ref[qi, l, :] = jnp.where(valid, dots, -jnp.inf)
-            ids_ref[qi, l, :] = jnp.where(valid, rowsb[slot], jnp.int32(-1))
             return 0
 
         jax.lax.fori_loop(0, total, step, 0)
@@ -105,9 +112,8 @@ def _make_kernel(L: int, win: int, d: int, qt: int, quantized: bool,
 @functools.partial(
     jax.jit, static_argnames=("per_table", "q_tile", "interpret")
 )
-def slab_window_scores(
+def slab_window_dots(
     packed: jax.Array,           # [L, n_pad, d] bf16/int8 CSR-ordered slabs
-    packed_rows: jax.Array,      # [L, n_pad] int32 (sentinel past the end)
     packed_scale: Optional[jax.Array],  # [L, n_pad] f32 (int8 slabs only)
     starts: jax.Array,           # [q, L] int32 window starts within a table
     sizes: jax.Array,            # [q, L] int32 valid rows per window
@@ -117,76 +123,159 @@ def slab_window_scores(
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """-> (dots [q, L, win] f32 with -inf outside the window,
-           row ids [q, L, win] int32 with -1 outside).
+           aligned window starts [q, L] int32, LOCAL to each table).
 
-    win = per_table rounded up to a 128 lane multiple; rows in
-    [size, win) are masked, so callers see exactly the per_table window
-    semantics of packed_retrieve_core.
+    win = (per_table + _ALIGN) rounded up to a 128 lane multiple; the valid
+    rows of window (q, l) sit at lanes [head, head + size) where
+    head = starts - aligned_starts < _ALIGN, so callers see exactly the
+    per_table window semantics of packed_retrieve_core.  Lane j of table l
+    holds the dot against CSR position aligned_starts[q, l] + j — feed the
+    pair to slab_topk to recover row ids for the survivors.
     """
     L, n_pad, d = packed.shape
     q = queries.shape[0]
-    win = (per_table + 127) // 128 * 128
+    win = (per_table + _ALIGN + 127) // 128 * 128
     if n_pad < win:
         raise ValueError(f"window {win} exceeds packed length {n_pad}")
     quantized = jnp.issubdtype(packed.dtype, jnp.integer)
     if quantized and packed_scale is None:
         raise ValueError("int8 slabs require packed_scale")
 
+    # align starts down to the DMA tile; clamp so start + win stays in range
+    aligned = jnp.minimum((starts // _ALIGN) * _ALIGN, n_pad - win)
+    head = starts - aligned
+    size = jnp.minimum(jnp.minimum(sizes, per_table), win - head)
+
     pad_q = (-q) % q_tile
     if pad_q:
-        starts = jnp.pad(starts, ((0, pad_q), (0, 0)))
-        sizes = jnp.pad(sizes, ((0, pad_q), (0, 0)))
+        aligned = jnp.pad(aligned, ((0, pad_q), (0, 0)))
+        head = jnp.pad(head, ((0, pad_q), (0, 0)))
+        size = jnp.pad(size, ((0, pad_q), (0, 0)))
         queries = jnp.pad(queries, ((0, pad_q), (0, 0)))
     qp = q + pad_q
 
     # absolute row offsets into the flattened [L * n_pad, d] slab array;
-    # clamp so start + win stays in range (sizes already bound validity)
+    # n_pad is a 512 multiple (pack_index), so the l * n_pad shift keeps
+    # the _ALIGN divisibility proof intact
     l_off = jnp.arange(L, dtype=jnp.int32) * n_pad
-    abs_start = jnp.minimum(starts, n_pad - win) + l_off[None, :]
     meta = jnp.concatenate(
-        [abs_start, jnp.minimum(sizes, per_table)], axis=1
-    ).astype(jnp.int32)                                   # [qp, 2L]
+        [aligned + l_off[None, :], head, size], axis=1
+    ).astype(jnp.int32)                                   # [qp, 3L]
 
     scale_flat = (
-        packed_scale.reshape(L * n_pad)
-        if quantized else jnp.zeros((1,), jnp.float32)
+        packed_scale.reshape(L * n_pad, 1)
+        if quantized else jnp.zeros((win, 1), jnp.float32)
     )
 
-    kernel = _make_kernel(L, win, d, q_tile, bool(quantized))
+    nbuf = 4
+    kernel = _make_kernel(L, win, d, q_tile, bool(quantized), nbuf)
     scratch = [
-        pltpu.VMEM((4, win, d), packed.dtype),
-        pltpu.VMEM((4, win), jnp.int32),
-        pltpu.VMEM((4, win), jnp.float32),
-        pltpu.SemaphoreType.DMA((4,)),
-        pltpu.SemaphoreType.DMA((4,)),
-        pltpu.SemaphoreType.DMA((4,)),
+        pltpu.VMEM((nbuf, win, d), packed.dtype),
+        pltpu.VMEM((nbuf, win, 1), jnp.float32),
+        pltpu.SemaphoreType.DMA((nbuf,)),
+        pltpu.SemaphoreType.DMA((nbuf,)),
     ]
-    dots, ids = pl.pallas_call(
+    dots = pl.pallas_call(
         kernel,
         grid=(qp // q_tile,),
         in_specs=[
-            pl.BlockSpec((q_tile, 2 * L), lambda i: (i, 0),
+            pl.BlockSpec((q_tile, 3 * L), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((q_tile, d), lambda i: (i, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((q_tile, L, win), lambda i: (i, 0, 0)),
-            pl.BlockSpec((q_tile, L, win), lambda i: (i, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((qp, L, win), jnp.float32),
-            jax.ShapeDtypeStruct((qp, L, win), jnp.int32),
-        ],
+        out_specs=pl.BlockSpec((q_tile, L, win), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((qp, L, win), jnp.float32),
         scratch_shapes=scratch,
         interpret=interpret,
     )(
         meta,
         packed.reshape(L * n_pad, d),
-        packed_rows.reshape(L * n_pad),
         scale_flat,
         queries.astype(jnp.float32),
     )
-    return dots[:q], ids[:q]
+    return dots[:q], aligned[:q]
+
+
+def slab_topk(
+    dots: jax.Array,          # [q, L, win] from slab_window_dots
+    aligned_starts: jax.Array,  # [q, L] local CSR positions of lane 0
+    packed_rows: jax.Array,   # [L, n_pad] int32 CSR-ordered row ids
+    n_rows: int,
+    top_k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Two-stage dedup top-k over kernel dots, identical in semantics to
+    packed_retrieve_core's epilogue: stage 1 keeps the best L*top_k lanes
+    (duplicates included), their row ids are gathered from packed_rows at
+    just those positions, stage 2 sort-dedups by id and re-selects top_k.
+    -> (scores [q, top_k] descending, row ids [q, top_k], -1 pad)."""
+    q, L, win = dots.shape
+    n_pad = packed_rows.shape[1]
+    flat = dots.reshape(q, L * win)
+    m1 = min(L * top_k, L * win)
+    s1, pos1 = jax.lax.top_k(flat, m1)                 # [q, m1]
+    l_of = pos1 // win
+    lane = pos1 % win
+    a0 = jnp.take_along_axis(aligned_starts, l_of, axis=1)     # [q, m1]
+    gpos = l_of * n_pad + jnp.minimum(a0 + lane, n_pad - 1)
+    ids1 = packed_rows.reshape(-1)[gpos]               # [q, m1]
+    ids1 = jnp.where(s1 > -jnp.inf, ids1, n_rows)
+    safe = jnp.minimum(ids1, n_rows - 1)
+
+    order = jnp.argsort(ids1, axis=1)
+    ids_sorted = jnp.take_along_axis(safe, order, axis=1)
+    raw_sorted = jnp.take_along_axis(ids1, order, axis=1)
+    s_sorted = jnp.take_along_axis(s1, order, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((q, 1), bool), raw_sorted[:, 1:] == raw_sorted[:, :-1]],
+        axis=1,
+    )
+    s_sorted = jnp.where(
+        dup | (raw_sorted >= n_rows) | ~jnp.isfinite(s_sorted),
+        -jnp.inf, s_sorted,
+    )
+    s2, pos2 = jax.lax.top_k(s_sorted, top_k)
+    out_ids = jnp.where(
+        s2 > -jnp.inf, jnp.take_along_axis(ids_sorted, pos2, axis=1), -1
+    )
+    return s2, out_ids
+
+
+def packed_retrieve_pallas(
+    packed: jax.Array,           # [L, n_pad, d] CSR-ordered corpus copies
+    packed_rows: jax.Array,      # [L, n_pad] int32, sentinel n past the end
+    packed_scale: Optional[jax.Array],  # [L, n_pad] f32 (int8 slabs)
+    bucket_starts: jax.Array,    # [L, n_buckets + 1]
+    n_rows: int,
+    queries: jax.Array,          # [q, d]
+    q_buckets: jax.Array,        # [q, L]
+    top_k: int,
+    per_table: int,
+    q_tile: int = 8,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Drop-in Pallas replacement for packed_retrieve_core (cosine,
+    unfiltered): same pseudo-random window offsets, same two-stage dedup
+    top-k — the only difference is that the slab windows never round-trip
+    through an HBM temporary."""
+    L = packed.shape[0]
+    l_idx = jnp.arange(L, dtype=jnp.int32)
+    start = bucket_starts[l_idx[None, :], q_buckets]            # [q, L]
+    end = bucket_starts[l_idx[None, :], q_buckets + 1]
+    size = end - start
+    # identical window-offset derivation to packed_retrieve_core
+    golden = jnp.int32(-1640531527)
+    mix = (q_buckets * golden) ^ (l_idx[None, :] * jnp.int32(40503))
+    s0 = start + jnp.remainder(
+        jnp.abs(mix), jnp.maximum(size - per_table, 0) + 1
+    )
+    sizes = jnp.minimum(end - s0, per_table)
+
+    qv = queries.astype(jnp.float32)
+    qv = qv / jnp.maximum(jnp.linalg.norm(qv, axis=1, keepdims=True), 1e-30)
+    dots, a0 = slab_window_dots(
+        packed, packed_scale, s0, sizes, qv,
+        per_table=per_table, q_tile=q_tile, interpret=interpret,
+    )
+    return slab_topk(dots, a0, packed_rows, n_rows, top_k)

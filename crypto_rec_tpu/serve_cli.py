@@ -71,9 +71,14 @@ def _retrieve(args) -> int:
         return 1
     ids, queries = read_dense_vectors(args.queries, args.delimiter)
     if args.pack:
-        from crypto_rec_tpu.models.lsh.index import pack_index
+        if index.packed is not None:
+            # checkpoint already carries the packed-slab layout (v2): serve
+            # without the multi-second re-pack
+            print("restored packed slabs from checkpoint", file=sys.stderr)
+        else:
+            from crypto_rec_tpu.models.lsh.index import pack_index
 
-        index = pack_index(index, corpus)
+            index = pack_index(index, corpus)
     t0 = time.perf_counter()
     scores, rows = retrieve_topk(
         index, jnp.asarray(queries), corpus,

@@ -45,3 +45,76 @@ def test_user_matrix_roundtrip(tmp_path):
     np.testing.assert_array_equal(um.ratings, um2.ratings)
     np.testing.assert_array_equal(um.known, um2.known)
     assert um2.ids == um.ids
+
+
+def test_packed_index_roundtrip(tmp_path):
+    """v2: packed slabs (bf16 AND int8) survive save/load and the restored
+    index serves the packed retrieval path without re-packing."""
+    from crypto_rec_tpu.models.lsh.index import pack_index, retrieve_topk
+
+    x = jnp.asarray(RNG.normal(size=(256, 16)).astype(np.float32))
+    q = jnp.asarray(RNG.normal(size=(9, 16)).astype(np.float32))
+    idx = build_index(KEY, x, "cosine", k=3, L=3, lsh_bucket_div=4,
+                      euclidean_h_w=1.0)
+    for dtype in (jnp.bfloat16, jnp.int8):
+        pidx = pack_index(idx, x, dtype=dtype, pad=512)
+        p = str(tmp_path / f"packed_{np.dtype(dtype).name}.npz")
+        save_index(p, pidx)
+        pidx2 = load_index(p)
+        assert pidx2.packed is not None and pidx2.packed.dtype == dtype
+        if dtype == jnp.int8:
+            assert pidx2.packed_scale is not None
+        s1, i1 = retrieve_topk(pidx, q, x, top_k=5, per_table=64)
+        s2, i2 = retrieve_topk(pidx2, q, x, top_k=5, per_table=64)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+
+
+def test_euclidean_packed_roundtrip(tmp_path):
+    from crypto_rec_tpu.models.lsh.index import pack_index, retrieve_topk
+
+    x = jnp.asarray(RNG.normal(size=(256, 16)).astype(np.float32))
+    q = jnp.asarray(RNG.normal(size=(5, 16)).astype(np.float32))
+    idx = build_index(KEY, x, "euclidean", k=3, L=2, lsh_bucket_div=4,
+                      euclidean_h_w=4.0)
+    pidx = pack_index(idx, x, dtype=jnp.bfloat16, pad=512)
+    p = str(tmp_path / "packed_euc.npz")
+    save_index(p, pidx)
+    pidx2 = load_index(p)
+    assert pidx2.packed_sqnorm is not None
+    assert pidx2.packed_detailed is not None
+    s1, i1 = retrieve_topk(pidx, q, x, top_k=4, per_table=64)
+    s2, i2 = retrieve_topk(pidx2, q, x, top_k=4, per_table=64)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_sharded_index_roundtrip(tmp_path):
+    """Per-shard save + direct-to-device restore on the 8-device mesh; the
+    restored index retrieves identically to the original (incl. int8 packed)."""
+    from crypto_rec_tpu.checkpoint import save_sharded_index, load_sharded_index
+    from crypto_rec_tpu.parallel.mesh import make_mesh
+    from crypto_rec_tpu.parallel.sharded_index import (
+        build_sharded_index, pack_sharded_index, shard_corpus,
+        sharded_retrieve_topk,
+    )
+
+    mesh = make_mesh((1, 8), axis_names=("dp", "mp"))
+    n, d, q = 512, 16, 8
+    corpus = jnp.asarray(RNG.normal(size=(n, d)).astype(np.float32))
+    queries = jnp.asarray(RNG.normal(size=(q, d)).astype(np.float32))
+    corpus_sh = shard_corpus(mesh, corpus)
+    idx = build_sharded_index(mesh, KEY, corpus_sh, "cosine", k=3, L=3)
+    idx = pack_sharded_index(mesh, idx, corpus_sh, dtype=jnp.int8, pad=512)
+
+    prefix = str(tmp_path / "shidx")
+    paths = save_sharded_index(prefix, idx)
+    assert len(paths) == 1 + 8  # meta + one per shard
+
+    idx2 = load_sharded_index(prefix, mesh)
+    assert idx2.packed is not None and idx2.packed.dtype == jnp.int8
+    s1, i1 = sharded_retrieve_topk(
+        mesh, idx, queries, corpus_sh, budget=64, top_k=5, per_table=32)
+    s2, i2 = sharded_retrieve_topk(
+        mesh, idx2, queries, corpus_sh, budget=64, top_k=5, per_table=32)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)

@@ -102,3 +102,39 @@ def test_serve_retrieve_packed(tmp_path):
         assert p[0] == g[0]
         # same neighbor ids (bf16 scores may differ in low digits)
         assert [t.split(":")[0] for t in p[1:]] == [t.split(":")[0] for t in g[1:]]
+
+
+def test_serve_retrieve_packed_checkpoint_no_repack(tmp_path, capsys, monkeypatch):
+    """A v2 packed checkpoint serves --pack WITHOUT re-packing (VERDICT r1 #4)."""
+    from crypto_rec_tpu.models.lsh import index as index_mod
+    from crypto_rec_tpu.models.lsh.index import pack_index
+
+    x = RNG.normal(size=(256, 16)).astype(np.float32)
+    index = build_index(
+        jax.random.PRNGKey(0), jnp.asarray(x), "cosine", 4, 4, 4, 1.0
+    )
+    index = pack_index(index, jnp.asarray(x), dtype=jnp.int8, pad=512)
+    save_index(str(tmp_path / "idx.npz"), index)
+    np.savez(tmp_path / "corpus.npz", vectors=x)
+    with open(tmp_path / "q.csv", "w") as f:
+        for i in range(4):
+            f.write(",".join([f"q{i}"] + [f"{v:.5f}" for v in x[i]]) + "\n")
+
+    def boom(*a, **kw):
+        raise AssertionError("pack_index must not be called on a packed checkpoint")
+
+    monkeypatch.setattr(index_mod, "pack_index", boom)
+    rc = main([
+        "retrieve", "--index", str(tmp_path / "idx.npz"),
+        "--corpus", str(tmp_path / "corpus.npz"),
+        "--queries", str(tmp_path / "q.csv"),
+        "--top-k", "3", "--per-table", "64", "--pack",
+        "-o", str(tmp_path / "out.tsv"),
+    ])
+    assert rc == 0
+    assert "restored packed slabs" in capsys.readouterr().err
+    lines = open(tmp_path / "out.tsv").read().splitlines()
+    assert len(lines) == 4
+    for i, line in enumerate(lines):
+        top_row, top_score = line.split("\t")[1].split(":")
+        assert int(top_row) == i and float(top_score) > 0.999
