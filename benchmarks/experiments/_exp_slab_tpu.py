@@ -4,7 +4,7 @@ import os, sys, time, functools
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-bench")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 import numpy as np, jax, jax.numpy as jnp
-from crypto_rec_tpu.models.lsh.index import build_index, pack_index, packed_retrieve_core, query_hashes
+from crypto_rec_tpu.models.lsh.index import build_index, pack_index, retrieve_topk, query_hashes
 from crypto_rec_tpu.ops.pallas.slabscore import packed_retrieve_pallas
 from crypto_rec_tpu.utils.timing import hard_sync
 
@@ -23,13 +23,10 @@ def run_pallas(pidx, qs, pt, qt, tk):
         pidx.packed, pidx.packed_rows, pidx.packed_scale, pidx.bucket_starts,
         pidx.n_rows, qs, qb, tk, pt, q_tile=qt)
 
-@functools.partial(jax.jit, static_argnames=("pt", "tk"))
 def run_xla(pidx, qs, pt, tk):
-    qb, _ = query_hashes(pidx, qs)
-    return packed_retrieve_core(
-        pidx.packed, pidx.packed_rows, None, None, pidx.bucket_starts,
-        pidx.n_rows, "cosine", qs, qb, None, tk, pt, 128,
-        packed_scale=pidx.packed_scale)
+    # retrieve_topk streams q_block=256 so the [q, L*B, W, d] gather
+    # temporary stays bounded (direct full-batch core OOMs at 8192 queries)
+    return retrieve_topk(pidx, qs, corpus, top_k=tk, per_table=pt)
 
 def timed(fn):
     out = fn(); hard_sync(out)

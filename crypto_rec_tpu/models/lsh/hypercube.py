@@ -37,12 +37,21 @@ from crypto_rec_tpu.ops.hamming import hamming_probe_order
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=("family", "mix_mul", "mix_add", "vertices", "sorted_rows", "bucket_starts"),
+    data_fields=(
+        "family", "mix_mul", "mix_add", "vertices", "sorted_rows",
+        "bucket_starts", "packed", "packed_rows", "packed_sqnorm",
+        "packed_scale",
+    ),
     meta_fields=("metric", "k", "n_rows"),
 )
 @dataclasses.dataclass
 class Hypercube:
-    """One 2^k-bucket table keyed by cube vertex."""
+    """One 2^k-bucket table keyed by cube vertex.
+
+    The optional packed fields are the single-table packed-slab layout
+    (pack_cube): the corpus rewritten in vertex-CSR order so each probed
+    vertex's bucket is one contiguous slab — the same trick as
+    index.pack_index, paid only ONCE (the cube has one table)."""
 
     metric: str
     k: int
@@ -53,6 +62,10 @@ class Hypercube:
     vertices: jax.Array     # [n] int32 vertex per indexed row
     sorted_rows: jax.Array  # [1, n]
     bucket_starts: jax.Array  # [1, 2^k + 1]
+    packed: Optional[jax.Array] = None         # [1, n + pad, d]
+    packed_rows: Optional[jax.Array] = None    # [1, n + pad]
+    packed_sqnorm: Optional[jax.Array] = None  # [1, n + pad] (euclidean)
+    packed_scale: Optional[jax.Array] = None   # [1, n + pad] (int8)
 
 
 def _f_bits(h: jax.Array, mul: jax.Array, add: jax.Array) -> jax.Array:
@@ -122,6 +135,101 @@ def cube_candidate_mask(cube: Hypercube, queries: jax.Array, probes: int) -> jax
     return jnp.any(
         probe_vertices[:, :, None] == cube.vertices[None, None, :], axis=1
     )
+
+
+@functools.partial(jax.jit, static_argnames=("dtype", "pad"))
+def pack_cube(
+    cube: Hypercube,
+    corpus: jax.Array,
+    dtype=jnp.bfloat16,
+    pad: int = 4096,
+) -> Hypercube:
+    """Attach the packed-slab layout: the corpus rewritten in vertex-CSR
+    order (index.pack_index applied to the cube's single table).  Cosine
+    rows are pre-normalized; int8 carries a per-row dequant scale."""
+    n = cube.n_rows
+    rows = cube.sorted_rows[0]
+    quantized = jnp.issubdtype(jnp.dtype(dtype), jnp.integer)
+
+    g = corpus[rows].astype(jnp.float32)
+    if cube.metric == "cosine":
+        g = g / jnp.maximum(jnp.linalg.norm(g, axis=1, keepdims=True), 1e-30)
+        sq = None
+    else:
+        sq = jnp.sum(g * g, axis=1)
+    scale = None
+    if quantized:
+        amax = jnp.max(jnp.abs(g), axis=1, keepdims=True)
+        scale = jnp.maximum(amax, 1e-30) / 127.0
+        g = jnp.clip(jnp.round(g / scale), -127, 127)
+        scale = scale[:, 0]
+    packed = g.astype(dtype)
+
+    pad = -(n + pad) % 512 + pad  # align to the aligned-block grid
+    kw: dict = {
+        "packed": jnp.pad(packed, ((0, pad), (0, 0)))[None],
+        "packed_rows": jnp.pad(rows, (0, pad), constant_values=n)[None],
+    }
+    if quantized:
+        kw["packed_scale"] = jnp.pad(scale, (0, pad), constant_values=1.0)[None]
+    if sq is not None:
+        kw["packed_sqnorm"] = jnp.pad(sq, (0, pad))[None]
+    return dataclasses.replace(cube, **kw)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("top_k", "probes", "per_probe", "q_block")
+)
+def cube_retrieve_topk(
+    cube: Hypercube,
+    queries: jax.Array,   # [q, d]
+    corpus: jax.Array,    # [n, d] — full-precision rows (int8 rerank)
+    top_k: int,
+    probes: int,
+    per_probe: int = 256,
+    q_block: int = 256,
+):
+    """Fused hypercube retrieval over the packed layout: probe schedule ->
+    per-vertex slab windows -> score -> top-k.  Reuses the multi-table
+    packed_retrieve_core by treating the `probes` probed vertices as virtual
+    tables over the SAME single slab (probe buckets are disjoint, so the
+    dedup stage is a no-op and every window reads table 0's slab).
+
+    -> (scores [q, top_k] descending nearest-first, row ids [q, top_k]).
+    """
+    from crypto_rec_tpu.models.lsh.index import (
+        packed_retrieve_core, rerank_exact,
+    )
+
+    if cube.packed is None:
+        raise ValueError("pack_cube first (packed layout required)")
+    masks = jnp.asarray(hamming_probe_order(cube.k, probes))  # [p]
+    quantized = cube.packed_scale is not None
+    core_k = min(4 * top_k, probes * top_k) if quantized else top_k
+
+    q = queries.shape[0]
+    pad_q = (-q) % q_block
+    queries_p = jnp.pad(queries, ((0, pad_q), (0, 0)))
+
+    def one_block(blk):
+        qv = _vertex_ids(
+            cube.metric, cube.k, cube.family, cube.mix_mul, cube.mix_add, blk
+        )
+        probe_vertices = qv[:, None] ^ masks[None, :]          # [q, p]
+        s, ids = packed_retrieve_core(
+            cube.packed, cube.packed_rows, cube.packed_sqnorm, None,
+            cube.bucket_starts, cube.n_rows, cube.metric,
+            blk, probe_vertices, None, core_k, per_probe,
+            packed_scale=cube.packed_scale,
+        )
+        if quantized:
+            s, ids = rerank_exact(corpus, cube.metric, blk, ids, top_k)
+        return s, ids
+
+    vals, ids = jax.lax.map(
+        one_block, queries_p.reshape(-1, q_block, queries.shape[1])
+    )
+    return vals.reshape(-1, vals.shape[-1])[:q], ids.reshape(-1, ids.shape[-1])[:q]
 
 
 @functools.partial(jax.jit, static_argnames=("probes", "budget"))

@@ -78,6 +78,15 @@ class LshIndex:
     packed_scale: Optional[jax.Array] = None
 
 
+def resolve_use_pallas(flag: Optional[bool]) -> bool:
+    """config.RecConfig.use_pallas=None => auto: the fused sign-projection
+    Pallas kernel on a real TPU backend, the XLA form everywhere else
+    (Pallas on CPU runs in interpret mode, ~100x slower than XLA)."""
+    if flag is not None:
+        return bool(flag)
+    return jax.default_backend() == "tpu"
+
+
 def _csr_from_buckets(bucket_ids: jax.Array, n_buckets: int) -> Tuple[jax.Array, jax.Array]:
     """[n, L] -> (sorted_rows [L, n], starts [L, n_buckets + 1]).
 
@@ -619,8 +628,14 @@ def packed_retrieve_core(
     Rows outside [s0, min(s0 + per_table, bucket_end)) are masked; scores
     and the two-stage dedup top-k match the unpacked path up to the packed
     dtype's rounding (usually bf16).
+
+    The windows-per-query count T comes from q_buckets.shape[1]; each window
+    t reads slab t % L.  For the LSH index T == L (one window per table);
+    the hypercube reuses this core with L == 1 slab and T == `probes`
+    windows, all over the same vertex-CSR slab (hypercube.cube_retrieve_topk).
     """
     L, n_pad, d = packed.shape
+    T = q_buckets.shape[1]
     n = n_rows
     pad = n_pad - n
     W = block_rows
@@ -637,32 +652,33 @@ def packed_retrieve_core(
     nblk = n_pad // W
     q = queries.shape[0]
 
-    l_idx = jnp.arange(L, dtype=jnp.int32)
-    start = bucket_starts[l_idx[None, :], q_buckets]             # [q, L]
-    end = bucket_starts[l_idx[None, :], q_buckets + 1]
+    w_idx = jnp.arange(T, dtype=jnp.int32)      # window index per query
+    slab_idx = w_idx % L                        # which slab a window reads
+    start = bucket_starts[slab_idx[None, :], q_buckets]          # [q, T]
+    end = bucket_starts[slab_idx[None, :], q_buckets + 1]
     size = end - start
     # same pseudo-random window offset as the unpacked path: keeps
     # per-table coverage of oversized buckets independent across tables
     # (see gather_candidate_ids)
     golden = jnp.int32(-1640531527)
-    mix = (q_buckets * golden) ^ (l_idx[None, :] * jnp.int32(40503))
+    mix = (q_buckets * golden) ^ (w_idx[None, :] * jnp.int32(40503))
     s0 = start + jnp.remainder(
         jnp.abs(mix), jnp.maximum(size - per_table, 0) + 1
-    )                                                            # [q, L]
+    )                                                            # [q, T]
     lim = jnp.minimum(s0 + per_table, end)
 
-    blk = (s0 // W)[:, :, None] + jnp.arange(B, dtype=jnp.int32)  # [q, L, B]
-    gidx = (l_idx[None, :, None] * nblk + blk).reshape(q, L * B)
-    pos = (blk[..., None] * W + jnp.arange(W, dtype=jnp.int32))   # [q, L, B, W]
+    blk = (s0 // W)[:, :, None] + jnp.arange(B, dtype=jnp.int32)  # [q, T, B]
+    gidx = (slab_idx[None, :, None] * nblk + blk).reshape(q, T * B)
+    pos = (blk[..., None] * W + jnp.arange(W, dtype=jnp.int32))   # [q, T, B, W]
     valid = (pos >= s0[..., None, None]) & (pos < lim[..., None, None])
 
-    cand = packed.reshape(nblk * L, W, d)[gidx]             # [q, L*B, W, d]
-    rows = packed_rows.reshape(nblk * L, W)[gidx]           # [q, L*B, W]
+    cand = packed.reshape(nblk * L, W, d)[gidx]             # [q, T*B, W, d]
+    rows = packed_rows.reshape(nblk * L, W)[gidx]           # [q, T*B, W]
     if packed_detailed is not None:
         k = packed_detailed.shape[-1]
         dblk = packed_detailed.reshape(nblk * L, W, k)[gidx]
         ok = jnp.all(
-            dblk.reshape(q, L, B, W, k) == q_detailed[:, :, None, None, :],
+            dblk.reshape(q, T, B, W, k) == q_detailed[:, :, None, None, :],
             axis=-1,
         )
         valid = valid & ok
@@ -690,13 +706,13 @@ def packed_retrieve_core(
             jnp.maximum(sq - 2.0 * dots + qsq[:, None, None], 0.0)
         )
 
-    m = L * B * W
+    m = T * B * W
     score = jnp.where(valid.reshape(q, m), score.reshape(q, m), -jnp.inf)
     ids = jnp.where(valid.reshape(q, m), rows.reshape(q, m), n)
     safe = jnp.minimum(ids, n - 1)
 
-    # stage 1: top L*top_k with duplicates; stage 2: dedup + final top-k
-    m1 = min(L * top_k, m)
+    # stage 1: top T*top_k with duplicates; stage 2: dedup + final top-k
+    m1 = min(T * top_k, m)
     s1, pos1 = jax.lax.top_k(score, m1)                     # [q, m1]
     ids1 = jnp.take_along_axis(safe, pos1, axis=1)
     order = jnp.argsort(ids1, axis=1)

@@ -76,6 +76,8 @@ def lsh_phase(
     top_p: int,
 ):
     """One cosine-LSH recommendation phase (build + batched query)."""
+    from crypto_rec_tpu.models.lsh.index import resolve_use_pallas
+
     index = build_index(
         key,
         index_set.ratings,
@@ -84,6 +86,7 @@ def lsh_phase(
         cfg.L,
         cfg.lsh_bucket_div,
         cfg.euclidean_h_w,
+        use_pallas=resolve_use_pallas(cfg.use_pallas),
     )
     mask = candidate_mask(index, queries.ratings, filtered=True)
     return recommend(queries, index_set, mask, top_p=top_p, top_n=top_n)

@@ -113,3 +113,76 @@ def test_hypercube_home_vertex_contains_self():
     cube = build_hypercube(KEY, x, "euclidean", k=3, euclidean_h_w=1.0)
     mask = np.asarray(cube_candidate_mask(cube, x, probes=1))
     assert np.all(np.diag(mask))
+
+
+def test_cube_retrieve_topk_matches_probe_mask():
+    """Fused packed hypercube retrieval == brute-force scoring restricted to
+    the probe-union mask (per_probe sized to cover whole buckets)."""
+    from crypto_rec_tpu.models.lsh.hypercube import (
+        build_hypercube, cube_candidate_mask, pack_cube, cube_retrieve_topk,
+    )
+
+    rng = np.random.default_rng(17)
+    n, d, q, kk, probes, tk = 512, 24, 16, 4, 5, 6
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    qs = jnp.asarray(rng.normal(size=(q, d)).astype(np.float32))
+    for metric in ("cosine", "euclidean"):
+        cube = build_hypercube(
+            jax.random.PRNGKey(2), x, metric, kk, euclidean_h_w=4.0
+        )
+        cube = pack_cube(cube, x, dtype=jnp.bfloat16, pad=1024)
+        vals, ids = cube_retrieve_topk(
+            cube, qs, x, top_k=tk, probes=probes, per_probe=n
+        )
+        vals, ids = np.asarray(vals), np.asarray(ids)
+
+        mask = np.asarray(cube_candidate_mask(cube, qs, probes))
+        xn = np.asarray(x)
+        qn = np.asarray(qs)
+        if metric == "cosine":
+            a = xn / np.linalg.norm(xn, axis=1, keepdims=True)
+            b = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+            score = b @ a.T
+        else:
+            score = -np.sqrt(
+                np.maximum(
+                    (qn * qn).sum(1)[:, None] - 2 * qn @ xn.T
+                    + (xn * xn).sum(1)[None, :], 0,
+                )
+            )
+        score = np.where(mask, score, -np.inf)
+        ref_ids = np.argsort(-score, axis=1)[:, :tk]
+        ref_vals = np.take_along_axis(score, ref_ids, axis=1)
+        ref_ids = np.where(np.isfinite(ref_vals), ref_ids, -1)
+        # ids match wherever the reference has a finite (unmasked) slot;
+        # bf16 slab rounding can permute near-ties, so compare by score
+        finite = np.isfinite(ref_vals)
+        np.testing.assert_allclose(
+            vals[finite], ref_vals[finite], atol=2e-2
+        )
+        match = (ids[finite] == ref_ids[finite]).mean()
+        assert match > 0.95, f"{metric}: id match {match}"
+        assert (ids[~finite] == -1).all()
+
+
+def test_cube_retrieve_topk_int8_exact_rerank():
+    """int8 cube slabs: over-fetch + exact f32 rerank must return the same
+    ids as the bf16 path on well-separated data."""
+    from crypto_rec_tpu.models.lsh.hypercube import (
+        build_hypercube, pack_cube, cube_retrieve_topk,
+    )
+
+    rng = np.random.default_rng(23)
+    n, d, q, kk, probes, tk = 512, 24, 12, 4, 6, 5
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    qs = x[:q] + 0.01 * jnp.asarray(rng.normal(size=(q, d)).astype(np.float32))
+    cube = build_hypercube(jax.random.PRNGKey(4), x, "cosine", kk, 1.0)
+    c_bf16 = pack_cube(cube, x, dtype=jnp.bfloat16, pad=1024)
+    c_int8 = pack_cube(cube, x, dtype=jnp.int8, pad=1024)
+    _v1, i1 = cube_retrieve_topk(c_bf16, qs, x, top_k=tk, probes=probes, per_probe=n)
+    _v2, i2 = cube_retrieve_topk(c_int8, qs, x, top_k=tk, probes=probes, per_probe=n)
+    # planted self-neighbor always first in both
+    np.testing.assert_array_equal(np.asarray(i1)[:, 0], np.arange(q))
+    np.testing.assert_array_equal(np.asarray(i2)[:, 0], np.arange(q))
+    match = (np.asarray(i1) == np.asarray(i2)).mean()
+    assert match > 0.9
