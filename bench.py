@@ -14,10 +14,21 @@ Timing methodology: every jitted path is warmed up (compile excluded), and
 each timed repetition ends with a scalar host read so asynchronous dispatch
 (and the remote-execution tunnel on this testbed) cannot under-report.
 
-Environment knobs: BENCH_N (corpus rows, default 2,000,000), BENCH_D (dims),
-BENCH_Q (queries), BENCH_ORACLE_Q (queries for the exact-NN recall check),
-BENCH_LSH_K (default auto: buckets sized so the per-table gather window
-covers an average bucket), BENCH_LSH_L, BENCH_BUDGET.
+Environment knobs:
+  BENCH_N (corpus rows, default 2,000,000), BENCH_D (dims), BENCH_Q
+  (queries), BENCH_ORACLE_Q (queries for the exact-NN recall check),
+  BENCH_LSH_K (default auto), BENCH_LSH_L, BENCH_BUDGET, BENCH_WINDOW.
+  BENCH_METRIC      cosine (default) | euclidean (p-stable + detailed filter,
+                    /root/reference/lib/generators/euclidean_phi_gen.hpp).
+  BENCH_EUC_W       p-stable window w (default 4.0 for the synthetic scale).
+  BENCH_PACK_DTYPE  bfloat16 | int8 | both | none (default: both when the
+                    bf16 slabs fit the chip, else int8) — "both" reports a
+                    bf16 AND an int8 fused datapoint in the same JSON line.
+  BENCH_CUBE        1 => also benchmark hypercube probing
+                    (/root/reference/lib/lsh_cube.hpp:139-177).
+  BENCH_CUBE_K / BENCH_CUBE_PROBES  cube vertex bits / probe count.
+  BENCH_PALLAS_RETRIEVE  1 => fused slab-score Pallas kernel for the packed
+                    retrieval (auto-falls back to the XLA path on failure).
 """
 
 from __future__ import annotations
@@ -63,15 +74,24 @@ def main() -> None:
     OQ = int(os.environ.get("BENCH_ORACLE_Q", 1024))
     L = int(os.environ.get("BENCH_LSH_L", 8))
     BUDGET = int(os.environ.get("BENCH_BUDGET", 1024))
-    # Auto-size k: one bit below "average bucket == budget/L" — slightly
-    # larger buckets raise the per-table collision probability, and the 4x
-    # window below still covers them (CPU sweep 2026-08-17: this operating
-    # point gives recall ~0.99 at 1M rows vs ~0.96 for auto k).
-    k_auto = max(8, math.ceil(math.log2(max(2, N / max(1, BUDGET // L)))) - 1)
-    K = int(os.environ.get("BENCH_LSH_K", k_auto))
+    METRIC = os.environ.get("BENCH_METRIC", "cosine")
+    EUC_W = float(os.environ.get("BENCH_EUC_W", 4.0))
+    if METRIC == "cosine":
+        # Auto-size k: one bit below "average bucket == budget/L" — slightly
+        # larger buckets raise the per-table collision probability, and the
+        # window below still covers them (CPU sweep 2026-08-17: this point
+        # gives recall ~0.99 at 1M rows vs ~0.96 for auto k).
+        k_auto = max(8, math.ceil(math.log2(max(2, N / max(1, BUDGET // L)))) - 1)
+        K = int(os.environ.get("BENCH_LSH_K", k_auto))
+        n_buckets = 1 << K
+    else:
+        # p-stable tables: n / lsh_bucket_div buckets (lsh_cube.hpp:61); k
+        # follows the reference default scale (4 h-functions per table)
+        K = int(os.environ.get("BENCH_LSH_K", 4))
+        n_buckets = max(1, N // 4)
     # Per-table gather window: 2x the average bucket (CPU sweep 2026-08-17:
     # recall 0.996 at 1M rows; 4x doubles gather traffic for +0.3 recall pt).
-    pt_auto = min(BUDGET, max(128, 2 * N // (1 << K)))
+    pt_auto = min(BUDGET, max(128, 2 * N // n_buckets))
     PT = int(os.environ.get("BENCH_WINDOW", pt_auto))
     TOPK = 10
     # bf16 scoring needs a second corpus copy; above ~4M rows the f32 + bf16
@@ -82,18 +102,20 @@ def main() -> None:
         build_index,
         candidate_ids,
         pack_index,
+        resolve_use_pallas,
         retrieve_topk,
     )
     from crypto_rec_tpu.ops.oracle import exact_nearest, recall_at_k
 
     dev = jax.devices()[0]
     log(f"device: {dev} platform={dev.platform}  N={N} D={D} Q={Q} "
-        f"K={K} L={L} budget={BUDGET} window={PT}")
+        f"metric={METRIC} K={K} L={L} budget={BUDGET} window={PT}")
     key = jax.random.PRNGKey(0)
 
     # Clustered synthetic corpus with PLANTED ground truth (see
     # crypto_rec_tpu.io.synth.planted_clustered_corpus for the protocol and
-    # the memory story).
+    # the memory story).  Planted rows are query + small noise, so they are
+    # the unambiguous top-k under cosine AND euclidean.
     from crypto_rec_tpu.io.synth import planted_clustered_corpus
 
     t0 = time.perf_counter()
@@ -104,16 +126,23 @@ def main() -> None:
         f"({Q}x{TOPK} planted true neighbors)")
 
     # ---- index build: warm (compile) then timed ----
+    use_pallas = resolve_use_pallas(
+        None if "BENCH_USE_PALLAS" not in os.environ
+        else os.environ["BENCH_USE_PALLAS"] == "1"
+    ) and METRIC == "cosine"
+    hash_path = "pallas_signproj" if use_pallas else "xla_matmul"
+
     def do_build(seed):
         return build_index(
-            jax.random.PRNGKey(seed), corpus, "cosine", K, L,
-            lsh_bucket_div=4, euclidean_h_w=1.0,
+            jax.random.PRNGKey(seed), corpus, METRIC, K, L,
+            lsh_bucket_div=4, euclidean_h_w=EUC_W, use_pallas=use_pallas,
         )
 
     t0 = time.perf_counter()
     index = do_build(1)
     hard_sync(index.bucket_starts)
-    log(f"index build cold (incl. compile): {time.perf_counter() - t0:.2f}s")
+    log(f"index build cold (incl. compile): {time.perf_counter() - t0:.2f}s "
+        f"(hash path: {hash_path})")
     del index  # don't hold a live index while timing fresh builds
     # Time builds one at a time: sync EVERY output leaf and delete before
     # the next rep — syncing a single array would let builds overlap
@@ -142,76 +171,151 @@ def main() -> None:
         qps = Q / query_s
         log(f"retrieval: {Q} queries in {query_s * 1e3:.1f} ms -> {qps:,.0f} q/s/chip")
 
-    # ---- packed-slab layout (pack_index): per-table CSR-ordered corpus
+    # ---- packed-slab layouts (pack_index): per-table CSR-ordered corpus
     # copies turn the fused path's random row gather into contiguous
-    # dynamic-slice DMAs.  Costs L extra bf16 corpus copies, so gate on HBM:
-    # ~6 GiB of slabs still leaves room for the f32 corpus + oracle blocks
-    # on a 16 GiB chip.
-    pack_dtype = {
-        "int8": jnp.int8, "bfloat16": jnp.bfloat16, "float32": jnp.float32,
-    }[os.environ.get(
-        "BENCH_PACK_DTYPE", "bfloat16" if BF16 else "float32"
-    )]
-    packed_bytes = L * (N + 4096) * D * jnp.dtype(pack_dtype).itemsize
-    PACK = os.environ.get(
-        "BENCH_PACK", "1" if packed_bytes <= 6_000_000_000 else "0"
-    ) == "1"
-    pack_s = 0.0
-    if PACK:
-        t0 = time.perf_counter()
-        index = pack_index(index, corpus, dtype=pack_dtype)
-        hard_sync(jax.tree_util.tree_leaves(index))
-        pack_s = time.perf_counter() - t0
-        log(f"packed slabs ({packed_bytes / 1e9:.1f} GB {pack_dtype.__name__}) "
-            f"in {pack_s:.2f}s (incl. compile)")
-
-    # ---- fused end-to-end retrieval (gather + score + top-k) ----
-    # bf16 scoring corpus: halves the candidate-gather HBM traffic (the
-    # fused path's dominant cost); scores accumulate in f32 and the planted
-    # 2x distance margin dwarfs bf16 rounding.  With PACK the slabs already
-    # carry the scoring data, so no separate copy is needed.
-    if PACK:
-        score_corpus = corpus  # ignored by the packed retrieve path
+    # aligned-block DMAs.  Costs L extra corpus copies, so the dtype plan is
+    # gated on HBM: bf16 up to ~6 GiB of slabs, int8 at half that.
+    slab_bytes = lambda itemsize: L * (N + 4096) * D * itemsize
+    plan_env = os.environ.get("BENCH_PACK_DTYPE", "")
+    if plan_env in ("bfloat16", "int8", "none"):
+        plan = [] if plan_env == "none" else [plan_env]
+    elif plan_env == "both" or (not plan_env and slab_bytes(2) <= 6e9):
+        plan = ["bfloat16", "int8"]
+    elif not plan_env and slab_bytes(1) <= 11e9:
+        plan = ["int8"]
     else:
+        plan = [] if not plan_env else [plan_env]
+
+    PALLAS_RETRIEVE = os.environ.get(
+        "BENCH_PALLAS_RETRIEVE",
+        "1" if (dev.platform == "tpu" and METRIC == "cosine") else "0",
+    ) == "1"
+
+    per_dtype = {}
+    pidx = None
+    for dtype_name in plan:
+        pack_dtype = {"int8": jnp.int8, "bfloat16": jnp.bfloat16}[dtype_name]
+        del pidx
+        pidx = None
+        t0 = time.perf_counter()
+        pidx = pack_index(index, corpus, dtype=pack_dtype)
+        hard_sync(jax.tree_util.tree_leaves(pidx))
+        pack_s = time.perf_counter() - t0
+        gb = slab_bytes(jnp.dtype(pack_dtype).itemsize) / 1e9
+        log(f"packed slabs ({gb:.1f} GB {dtype_name}) in {pack_s:.2f}s")
+
+        kernel = "xla"
+        retrieve = lambda: retrieve_topk(
+            pidx, queries, corpus, top_k=TOPK, per_table=PT
+        )
+        # the slab kernel wins for bf16 (+13% on v5e, 2026-08-20 probe) but
+        # loses for int8 (the XLA scale-dequant epilogue eats the gain), so
+        # auto only engages it for non-quantized slabs
+        if PALLAS_RETRIEVE and dtype_name != "int8":
+            from crypto_rec_tpu.models.lsh.index import retrieve_topk_pallas
+
+            try:
+                pal = lambda: retrieve_topk_pallas(
+                    pidx, queries, corpus, top_k=TOPK, per_table=PT
+                )
+                hard_sync(pal())
+                retrieve = pal
+                kernel = "pallas_slabscore"
+            except Exception as e:  # compile failure => XLA fallback
+                log(f"pallas retrieve unavailable ({type(e).__name__}); "
+                    f"falling back to XLA path")
+        hard_sync(retrieve())
+        fused_s = timed(retrieve, reps=5)
+        fused_qps = Q / fused_s
+        _sf, ids_f = retrieve()
+        rec = float(recall_at_k(ids_f, true_idx))
+        log(f"fused retrieve+score+top{TOPK} [{dtype_name}/{kernel}]: "
+            f"{fused_s * 1e3:.1f} ms -> {fused_qps:,.0f} q/s/chip "
+            f"(recall {rec:.4f})")
+        per_dtype[dtype_name] = {
+            "qps": round(fused_qps, 1),
+            "recall": round(rec, 4),
+            "pack_s": round(pack_s, 3),
+            "kernel": kernel,
+        }
+
+    # headline = the fastest packed datapoint (or the unpacked fused path
+    # when no packing fits)
+    if per_dtype:
+        head_name = max(per_dtype, key=lambda d: per_dtype[d]["qps"])
+        head = per_dtype[head_name]
+        fused_qps, fused_recall = head["qps"], head["recall"]
+    else:
+        head_name = "unpacked"
         score_corpus = corpus.astype(jnp.bfloat16) if BF16 else corpus
         score_corpus = hard_sync(score_corpus)
-    hard_sync(
-        retrieve_topk(index, queries, score_corpus, top_k=TOPK, per_table=PT)
-    )
-    fused_s = timed(
-        lambda: retrieve_topk(
-            index, queries, score_corpus, top_k=TOPK, per_table=PT
-        ),
-        reps=5,
-    )
-    fused_qps = Q / fused_s
-    log(f"fused retrieve+score+top{TOPK}: {fused_s * 1e3:.1f} ms -> "
-        f"{fused_qps:,.0f} q/s/chip")
+        hard_sync(retrieve_topk(index, queries, score_corpus, top_k=TOPK, per_table=PT))
+        fused_s = timed(
+            lambda: retrieve_topk(index, queries, score_corpus, top_k=TOPK, per_table=PT),
+            reps=5,
+        )
+        fused_qps = Q / fused_s
+        _sf, ids_f = retrieve_topk(index, queries, score_corpus, top_k=TOPK, per_table=PT)
+        fused_recall = float(recall_at_k(ids_f, true_idx))
+        log(f"fused retrieve (unpacked): {fused_s*1e3:.1f} ms -> "
+            f"{fused_qps:,.0f} q/s/chip (recall {fused_recall:.4f})")
+
+    # ---- candidate-set recall (CF path) ----
+    recall = -1.0
+    if CANDSET:
+        ids = candidate_ids(index, queries, budget=BUDGET, per_table=PT)
+        recall = float(recall_at_k(ids, true_idx))
+
+    # ---- optional hypercube stage (lsh_cube.hpp:139-177) ----
+    cube_stats = None
+    if os.environ.get("BENCH_CUBE", "0") == "1":
+        from crypto_rec_tpu.models.lsh.hypercube import (
+            build_hypercube, pack_cube, cube_retrieve_topk,
+        )
+
+        del pidx  # free the LSH slabs before packing the cube
+        pidx = None
+        CK = int(os.environ.get("BENCH_CUBE_K", max(8, K)))
+        PROBES = int(os.environ.get("BENCH_CUBE_PROBES", 64))
+        c_pt = min(BUDGET, max(128, 2 * N // (1 << CK)))
+        c_dtype = jnp.int8 if (N + 4096) * D * 2 > 6e9 else jnp.bfloat16
+        t0 = time.perf_counter()
+        cube = build_hypercube(jax.random.PRNGKey(7), corpus, METRIC, CK, EUC_W)
+        cube = pack_cube(cube, corpus, dtype=c_dtype)
+        hard_sync(jax.tree_util.tree_leaves(cube))
+        cube_build_s = time.perf_counter() - t0
+        run = lambda: cube_retrieve_topk(
+            cube, queries, corpus, top_k=TOPK, probes=PROBES, per_probe=c_pt
+        )
+        hard_sync(run())
+        cube_s = timed(run, reps=5)
+        _cs, cids = run()
+        cube_recall = float(recall_at_k(cids, true_idx))
+        log(f"hypercube k={CK} probes={PROBES} window={c_pt}: "
+            f"{cube_s*1e3:.1f} ms -> {Q/cube_s:,.0f} q/s/chip "
+            f"(recall {cube_recall:.4f}, build+pack {cube_build_s:.1f}s)")
+        cube_stats = {
+            "k": CK, "probes": PROBES, "per_probe": c_pt,
+            "qps": round(Q / cube_s, 1), "recall": round(cube_recall, 4),
+            "dtype": jnp.dtype(c_dtype).name,
+        }
+        del cube
 
     # ---- recall vs planted ground truth (+ exact-NN spot check) ----
-    ids = (
-        candidate_ids(index, queries, budget=BUDGET, per_table=PT)
-        if CANDSET else None
-    )
-    _s_f, ids_f = retrieve_topk(
-        index, queries, score_corpus, top_k=TOPK, per_table=PT
-    )
     t0 = time.perf_counter()
     _d, oracle_idx = exact_nearest(
-        queries[:OQ], corpus, "cosine", TOPK, block_rows=64
+        queries[:OQ], corpus, METRIC, TOPK, block_rows=64
     )
     hard_sync(oracle_idx)
     # spot check: the exact oracle must agree with the planted truth
     oracle_agree = float(recall_at_k(oracle_idx, true_idx[:OQ]))
     log(f"exact oracle over {OQ} x {N}: {time.perf_counter() - t0:.1f}s "
         f"(agreement with planted truth: {oracle_agree:.4f})")
-    recall = float(recall_at_k(ids, true_idx)) if CANDSET else -1.0
-    fused_recall = float(recall_at_k(ids_f, true_idx))
     log(f"candidate-set recall@{TOPK} = {recall:.4f} (budget={BUDGET}); "
         f"fused top-{TOPK} recall = {fused_recall:.4f}")
 
-    print(json.dumps({
-        "metric": "lsh_recall@10",
+    out = {
+        "metric": f"lsh_recall@{TOPK}",
         "value": round(fused_recall, 4),
         "unit": "recall",
         "vs_baseline": round(fused_recall / 0.95, 4),
@@ -223,16 +327,20 @@ def main() -> None:
         "index_rows_per_s": round(N / build_s, 1),
         "corpus_rows": N,
         "dim": D,
+        "distance_metric": METRIC,
         "lsh_k": K,
         "lsh_tables": L,
         "candidate_budget": BUDGET,
         "per_table_window": PT,
-        "bf16_scoring": BF16,
-        "packed_slabs": PACK,
-        "pack_dtype": pack_dtype.__name__ if PACK else None,
-        "pack_s": round(pack_s, 3),
+        "hash_path": hash_path,
+        "packed_slabs": bool(per_dtype),
+        "pack_dtype": head_name,
+        "per_dtype": per_dtype,
         "platform": dev.platform,
-    }))
+    }
+    if cube_stats:
+        out["hypercube"] = cube_stats
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -23,8 +23,9 @@ Window starts are therefore aligned DOWN to _ALIGN=32 rows host-side (the
 widened by one extra 128 block; a per-window `head` offset masks the
 [0, head) prefix.
 
-Supports the bf16 and int8-quantized slab layouts (int8 windows carry a
-per-row dequant scale).  Cosine only: rows are pre-normalized by
+Supports the bf16 and int8-quantized slab layouts (int8 dots are
+dequantized post-kernel by an XLA aligned-block gather of the per-row
+scales — a [win, 1] f32 DMA is not lane-tileable).  Cosine only: rows are pre-normalized by
 pack_index, so the dot IS the similarity.  Reference semantics mirrored:
 one window per hash table per query, L-table union downstream
 (/root/reference/lib/lsh_cube.hpp:77-106).
@@ -43,36 +44,22 @@ from jax.experimental.pallas import tpu as pltpu
 _ALIGN = 32  # covers the sublane tile of f32 (8), bf16 (16), and int8 (32)
 
 
-def _make_kernel(L: int, win: int, d: int, qt: int, quantized: bool,
-                 nbuf: int = 4):
-    def kernel(meta_ref, packed_hbm, scale_hbm, q_ref, dots_ref,
-               slab, scaleb, sem_s, sem_c):
+def _make_kernel(L: int, win: int, d: int, qt: int, nbuf: int = 4):
+    def kernel(meta_ref, packed_hbm, q_ref, dots_ref, slab, sem_s):
         total = qt * L
 
-        def dmas(slot, w):
+        def dma(slot, w):
             qi = w // L
             l = w % L
             start = pl.multiple_of(meta_ref[qi, l], _ALIGN)
-            out = [
-                pltpu.make_async_copy(
-                    packed_hbm.at[pl.ds(start, win), :],
-                    slab.at[slot], sem_s.at[slot],
-                ),
-            ]
-            if quantized:
-                out.append(pltpu.make_async_copy(
-                    scale_hbm.at[pl.ds(start, win), :],
-                    scaleb.at[slot], sem_c.at[slot],
-                ))
-            return out
-
-        def start_w(w):
-            for dma in dmas(w % nbuf, w):
-                dma.start()
+            return pltpu.make_async_copy(
+                packed_hbm.at[pl.ds(start, win), :],
+                slab.at[slot], sem_s.at[slot],
+            )
 
         # warm-up: fill the pipeline
         def warm(w, _):
-            start_w(w)
+            dma(w % nbuf, w).start()
             return 0
 
         depth = min(nbuf - 1, total)
@@ -81,11 +68,10 @@ def _make_kernel(L: int, win: int, d: int, qt: int, quantized: bool,
         def step(w, _):
             @pl.when(w + depth < total)
             def _():
-                start_w(w + depth)
+                dma((w + depth) % nbuf, w + depth).start()
 
             slot = w % nbuf
-            for dma in dmas(slot, w):
-                dma.wait()
+            dma(slot, w).wait()
             qi = w // L
             l = w % L
             vec = q_ref[qi, :].astype(jnp.float32)          # [d]
@@ -95,8 +81,6 @@ def _make_kernel(L: int, win: int, d: int, qt: int, quantized: bool,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )[:, 0]                                          # [win]
-            if quantized:
-                dots = dots * scaleb[slot][:, 0]
             head = meta_ref[qi, L + l]
             size = meta_ref[qi, 2 * L + l]
             lane = jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)[:, 0]
@@ -119,7 +103,7 @@ def slab_window_dots(
     sizes: jax.Array,            # [q, L] int32 valid rows per window
     queries: jax.Array,          # [q, d] f32, pre-normalized for cosine
     per_table: int,
-    q_tile: int = 8,
+    q_tile: int = 16,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """-> (dots [q, L, win] f32 with -inf outside the window,
@@ -162,17 +146,10 @@ def slab_window_dots(
         [aligned + l_off[None, :], head, size], axis=1
     ).astype(jnp.int32)                                   # [qp, 3L]
 
-    scale_flat = (
-        packed_scale.reshape(L * n_pad, 1)
-        if quantized else jnp.zeros((win, 1), jnp.float32)
-    )
-
     nbuf = 4
-    kernel = _make_kernel(L, win, d, q_tile, bool(quantized), nbuf)
+    kernel = _make_kernel(L, win, d, q_tile, nbuf)
     scratch = [
         pltpu.VMEM((nbuf, win, d), packed.dtype),
-        pltpu.VMEM((nbuf, win, 1), jnp.float32),
-        pltpu.SemaphoreType.DMA((nbuf,)),
         pltpu.SemaphoreType.DMA((nbuf,)),
     ]
     dots = pl.pallas_call(
@@ -181,7 +158,6 @@ def slab_window_dots(
         in_specs=[
             pl.BlockSpec((q_tile, 3 * L), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((q_tile, d), lambda i: (i, 0)),
         ],
@@ -192,10 +168,27 @@ def slab_window_dots(
     )(
         meta,
         packed.reshape(L * n_pad, d),
-        scale_flat,
         queries.astype(jnp.float32),
     )
-    return dots[:q], aligned[:q]
+    dots = dots[:q]
+    aligned = aligned[:q]
+
+    if quantized:
+        # Per-row dequant applied OUTSIDE the kernel: a [win, 1] f32 DMA is
+        # not lane-tileable on TPU (Mosaic requires 128-aligned slices in
+        # the last dim), so the scale windows are gathered in XLA as
+        # _ALIGN-row blocks — aligned starts make the block cover exact.
+        # Masked lanes stay -inf (scale > 0 everywhere, pad scale = 1).
+        nblk = n_pad // _ALIGN
+        l_blk = (jnp.arange(L, dtype=jnp.int32) * nblk)[None, :, None]
+        bidx = l_blk + (aligned // _ALIGN)[:, :, None] + jnp.arange(
+            win // _ALIGN, dtype=jnp.int32
+        )                                                  # [q, L, win/ALIGN]
+        scale_win = packed_scale.reshape(L * nblk, _ALIGN)[bidx].reshape(
+            q, L, win
+        )
+        dots = dots * scale_win
+    return dots, aligned
 
 
 def slab_topk(
@@ -252,7 +245,7 @@ def packed_retrieve_pallas(
     q_buckets: jax.Array,        # [q, L]
     top_k: int,
     per_table: int,
-    q_tile: int = 8,
+    q_tile: int = 16,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Drop-in Pallas replacement for packed_retrieve_core (cosine,

@@ -54,3 +54,70 @@ def test_gather_bucket_windows():
                     assert got[i, l, w] == rows[l, s + w]
                 else:
                     assert got[i, l, w] == n, (i, l, w, got[i, l, w])
+
+
+class TestSlabScore:
+    """Interpret-mode parity of the fused slab-score retrieval vs the XLA
+    packed core (VERDICT r1 #1: bf16 AND int8)."""
+
+    def _setup(self, dtype):
+        from crypto_rec_tpu.models.lsh.index import build_index, pack_index
+
+        rng = np.random.default_rng(7)
+        n, d, q, L = 4096, 128, 24, 5
+        x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+        qs = x[:q] + 0.01 * jnp.asarray(
+            rng.normal(size=(q, d)).astype(np.float32)
+        )
+        idx = build_index(
+            jax.random.PRNGKey(1), x, "cosine", k=5, L=L,
+            lsh_bucket_div=4, euclidean_h_w=1.0,
+        )
+        return pack_index(idx, x, dtype=dtype, pad=1024), x, qs
+
+    def _parity(self, dtype):
+        from crypto_rec_tpu.models.lsh.index import (
+            packed_retrieve_core, query_hashes,
+        )
+        from crypto_rec_tpu.ops.pallas.slabscore import packed_retrieve_pallas
+
+        pidx, x, qs = self._setup(dtype)
+        qb, _ = query_hashes(pidx, qs)
+        s_ref, ids_ref = packed_retrieve_core(
+            pidx.packed, pidx.packed_rows, None, None, pidx.bucket_starts,
+            pidx.n_rows, "cosine", qs, qb, None, 10, 200, 128,
+            packed_scale=pidx.packed_scale,
+        )
+        s_pal, ids_pal = packed_retrieve_pallas(
+            pidx.packed, pidx.packed_rows, pidx.packed_scale,
+            pidx.bucket_starts, pidx.n_rows, qs, qb, 10, 200,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(ids_ref), np.asarray(ids_pal))
+        np.testing.assert_allclose(
+            np.asarray(s_ref), np.asarray(s_pal), atol=1e-5
+        )
+
+    def test_parity_bf16(self):
+        self._parity(jnp.bfloat16)
+
+    def test_parity_int8(self):
+        self._parity(jnp.int8)
+
+    def test_retrieve_topk_pallas_end_to_end(self):
+        """The wrapper (hash + kernel + dedup top-k + int8 rerank) against
+        retrieve_topk on the same packed index, interpret mode."""
+        from crypto_rec_tpu.models.lsh.index import (
+            retrieve_topk, retrieve_topk_pallas,
+        )
+
+        pidx, x, qs = self._setup(jnp.int8)
+        s_x, i_x = retrieve_topk(pidx, qs, x, top_k=8, per_table=200)
+        s_p, i_p = retrieve_topk_pallas(
+            pidx, qs, x, top_k=8, per_table=200, interpret=True
+        )
+        # int8 path ends in the same exact f32 rerank -> identical output
+        np.testing.assert_array_equal(np.asarray(i_x), np.asarray(i_p))
+        np.testing.assert_allclose(
+            np.asarray(s_x), np.asarray(s_p), atol=1e-5
+        )
