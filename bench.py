@@ -75,7 +75,7 @@ def main() -> None:
     L = int(os.environ.get("BENCH_LSH_L", 8))
     BUDGET = int(os.environ.get("BENCH_BUDGET", 1024))
     METRIC = os.environ.get("BENCH_METRIC", "cosine")
-    EUC_W = float(os.environ.get("BENCH_EUC_W", 4.0))
+    EUC_W = float(os.environ.get("BENCH_EUC_W", 6.0))
     if METRIC == "cosine":
         # Auto-size k: one bit below "average bucket == budget/L" — slightly
         # larger buckets raise the per-table collision probability, and the
@@ -85,9 +85,10 @@ def main() -> None:
         K = int(os.environ.get("BENCH_LSH_K", k_auto))
         n_buckets = 1 << K
     else:
-        # p-stable tables: n / lsh_bucket_div buckets (lsh_cube.hpp:61); k
-        # follows the reference default scale (4 h-functions per table)
-        K = int(os.environ.get("BENCH_LSH_K", 4))
+        # p-stable tables: n / lsh_bucket_div buckets (lsh_cube.hpp:61).
+        # k=3, w=6 tuned on the synthetic protocol (CPU sweep 2026-08-20:
+        # recall 0.988 at 50k rows vs 0.81 for k=4, w=4)
+        K = int(os.environ.get("BENCH_LSH_K", 3))
         n_buckets = max(1, N // 4)
     # Per-table gather window: 2x the average bucket (CPU sweep 2026-08-17:
     # recall 0.996 at 1M rows; 4x doubles gather traffic for +0.3 recall pt).
