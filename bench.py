@@ -72,10 +72,10 @@ def main() -> None:
     D = int(os.environ.get("BENCH_D", 128))
     Q = int(os.environ.get("BENCH_Q", 8192))
     OQ = int(os.environ.get("BENCH_ORACLE_Q", 1024))
-    L = int(os.environ.get("BENCH_LSH_L", 8))
-    BUDGET = int(os.environ.get("BENCH_BUDGET", 1024))
     METRIC = os.environ.get("BENCH_METRIC", "cosine")
-    EUC_W = float(os.environ.get("BENCH_EUC_W", 6.0))
+    L = int(os.environ.get("BENCH_LSH_L", 8 if METRIC == "cosine" else 16))
+    BUDGET = int(os.environ.get("BENCH_BUDGET", 1024))
+    EUC_W = float(os.environ.get("BENCH_EUC_W", 8.0))
     if METRIC == "cosine":
         # Auto-size k: one bit below "average bucket == budget/L" — slightly
         # larger buckets raise the per-table collision probability, and the
@@ -86,13 +86,20 @@ def main() -> None:
         n_buckets = 1 << K
     else:
         # p-stable tables: n / lsh_bucket_div buckets (lsh_cube.hpp:61).
-        # k=3, w=6 tuned on the synthetic protocol (CPU sweep 2026-08-20:
-        # recall 0.988 at 50k rows vs 0.81 for k=4, w=4)
-        K = int(os.environ.get("BENCH_LSH_K", 3))
+        # k=5, w=8, L=16, window 512: clustered data concentrates the
+        # Gaussian h-values, so central tuples crowd — deeper tuples +
+        # wider w flatten the cells (CPU sweep 2026-08-20 at 500k rows:
+        # recall 0.9966 vs 0.15 for the shallow k=3/w=6 point at 2M)
+        K = int(os.environ.get("BENCH_LSH_K", 5))
         n_buckets = max(1, N // 4)
     # Per-table gather window: 2x the average bucket (CPU sweep 2026-08-17:
-    # recall 0.996 at 1M rows; 4x doubles gather traffic for +0.3 recall pt).
-    pt_auto = min(BUDGET, max(128, 2 * N // n_buckets))
+    # recall 0.996 at 1M rows; 4x doubles gather traffic for +0.3 recall
+    # pt).  Euclidean buckets are skewed (clustered h-values), so the
+    # average is misleading — 512 measured best (sweep 2026-08-20).
+    pt_auto = (
+        min(BUDGET, max(128, 2 * N // n_buckets))
+        if METRIC == "cosine" else 512
+    )
     PT = int(os.environ.get("BENCH_WINDOW", pt_auto))
     TOPK = 10
     # bf16 scoring needs a second corpus copy; above ~4M rows the f32 + bf16

@@ -24,7 +24,10 @@ from crypto_rec_tpu.models.lsh.hyperplane import CosineLsh
 from crypto_rec_tpu.models.lsh.pstable import PStableLsh
 from crypto_rec_tpu.models.lsh.index import LshIndex
 
-_FORMAT_VERSION = 2
+# v3: euclidean `detailed` changed from [n, L, k] h-tuples to [L, n] int32
+# fingerprints (models/lsh/index.LshIndex.detailed) — euclidean archives
+# written by v1/v2 must be rebuilt.
+_FORMAT_VERSION = 3
 
 # Packed-slab fields round-trip too (v2): bf16 has no native numpy save
 # format, so it is stored as a uint16 bit view with the dtype recorded in
@@ -98,8 +101,14 @@ def save_index(path: str, index: LshIndex) -> None:
 def load_index(path: str) -> LshIndex:
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(str(z["meta"]))
-        if meta["version"] not in (1, _FORMAT_VERSION):
+        if meta["version"] not in (1, 2, _FORMAT_VERSION):
             raise ValueError(f"unsupported index version {meta['version']}")
+        if meta["metric"] != "cosine" and meta["version"] < 3:
+            raise ValueError(
+                "euclidean index archives before v3 store raw h-tuples; "
+                "rebuild and re-save the index (detailed hashes are now "
+                "[L, n] fingerprints)"
+            )
         fam = _family_from(meta, z)
         detailed = (
             jnp.asarray(z["detailed"]) if meta["metric"] != "cosine" else None

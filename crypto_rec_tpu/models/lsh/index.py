@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -46,7 +47,15 @@ class LshIndex:
     """L hash tables over one set of indexed rows.
 
     bucket_ids:    [n, L] int32 — bucket of row i in table l.
-    detailed:      [n, L, k] int32 h-tuples (euclidean only, else None).
+    detailed:      [L, n] int32 h-tuple FINGERPRINTS (euclidean only, else
+                   None).  One murmur-mixed int32 per (table, row) stands in
+                   for the reference's k-tuple of h-values
+                   (euclidean_phi_gen.hpp:83-94): fingerprint equality ==
+                   tuple equality up to a ~2^-32 collision that can only
+                   admit an extra candidate, never drop a true match.  The
+                   [L, n] plane avoids the 128/k x padding blowup a
+                   [n, L, k] minor-dim-k layout suffers under TPU (8, 128)
+                   tiling (see pstable.fingerprints_from_hashes).
     sorted_rows:   [L, n] int32 — row ids sorted by bucket id per table (CSR).
     bucket_starts: [L, n_buckets + 1] int32 — CSR offsets per table.
 
@@ -58,7 +67,7 @@ class LshIndex:
                      (cosine: rows L2-normalized; usually bfloat16).
     packed_rows:     [L, n + pad] int32 — sorted_rows padded with sentinel n.
     packed_sqnorm:   [L, n + pad] float32 |row|^2 (euclidean only).
-    packed_detailed: [L, n + pad, k] int32 CSR-ordered h-tuples (euclidean).
+    packed_detailed: [L, n + pad] int32 CSR-ordered fingerprints (euclidean).
     """
 
     metric: str
@@ -87,27 +96,67 @@ def resolve_use_pallas(flag: Optional[bool]) -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _csr_from_buckets(bucket_ids: jax.Array, n_buckets: int) -> Tuple[jax.Array, jax.Array]:
+def _csr_from_buckets(
+    bucket_ids: jax.Array,
+    n_buckets: int,
+    secondary: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
     """[n, L] -> (sorted_rows [L, n], starts [L, n_buckets + 1]).
 
     The per-table sort is the TPU replacement for pointer-bucket insertion
     (cust_hashtable.hpp:65-70): one `sort` + one `searchsorted` per table.
     lax.sort on the (bucket, row) pair with num_keys=1 returns the sorted
     keys AND the permutation in one pass — 3x faster than stable argsort +
-    gather at 2M rows (order within a bucket is irrelevant here).
+    gather at 2M rows.
+
+    `secondary` ([n, L] int32, euclidean fingerprints) adds a lexicographic
+    second sort key: rows sharing a bucket are ordered by fingerprint, so
+    every exact-tuple cell is a CONTIGUOUS run inside its bucket.  Query
+    paths then binary-search the query's fingerprint (signed int32 order,
+    matching this sort) and start their window at the run — each window
+    slot is a true tuple match until the run ends, instead of a random
+    sample of the bucket that the detailed filter mostly discards
+    (measured at 2M clustered rows: recall 0.57 -> see bench).
     """
     n, L = bucket_ids.shape
     iota = jnp.arange(n, dtype=jnp.int32)
 
-    def one_table(b):  # b: [n]
-        sorted_b, order = jax.lax.sort((b, iota), num_keys=1)
+    def one_table(b, fp):  # b: [n], fp: [n] or dummy
+        if secondary is None:
+            sorted_b, order = jax.lax.sort((b, iota), num_keys=1)
+        else:
+            sorted_b, _, order = jax.lax.sort((b, fp, iota), num_keys=2)
         starts = jnp.searchsorted(
             sorted_b, jnp.arange(n_buckets + 1, dtype=b.dtype), side="left"
         ).astype(jnp.int32)
         return order, starts
 
-    rows, starts = jax.vmap(one_table)(bucket_ids.T)
+    sec = (secondary if secondary is not None else bucket_ids).T
+    rows, starts = jax.vmap(one_table)(bucket_ids.T, sec)
     return rows, starts
+
+
+def _fp_run_starts(
+    fp_at,                     # callable: positions [...] -> fingerprints [...]
+    start: jax.Array,          # lower CSR bounds (bucket starts)
+    end: jax.Array,            # upper CSR bounds (bucket ends)
+    target: jax.Array,         # query fingerprints, same shape
+    n: int,
+) -> jax.Array:
+    """First CSR position of `target` within the fingerprint-sorted bucket
+    slice [start, end) — a fixed-depth branchless binary search (signed
+    int32 order, matching _csr_from_buckets' secondary sort).  Returns
+    `end` when the cell is absent (the window then holds no matching rows
+    and the filter masks everything, exactly like an empty reference
+    bucket fetch)."""
+    lo, hi = start, end
+    for _ in range(max(1, math.ceil(math.log2(max(2, n))))):
+        active = lo < hi
+        mid = (lo + hi) // 2
+        go_right = fp_at(jnp.clip(mid, 0, n - 1)) < target
+        lo = jnp.where(active & go_right, mid + 1, lo)
+        hi = jnp.where(active & ~go_right, mid, hi)
+    return lo
 
 
 @functools.partial(
@@ -167,12 +216,29 @@ def build_index(
     elif metric == "euclidean":
         fam = PStableLsh.create(key, d, k, L, euclidean_h_w)
         n_buckets = max(1, n // max(1, lsh_bucket_div))
-        detailed = chunked(fam.hash_values, (L, k))
-        bucket_ids = fam.bucket_ids_from_hashes(detailed, n_buckets)
+
+        def hash_chunk(xc):
+            h = fam.hash_values(xc)  # [chunk, L, k] — never materialized at n
+            return jnp.stack(
+                [
+                    fam.bucket_ids_from_hashes(h, n_buckets),
+                    fam.fingerprints_from_hashes(h),
+                ],
+                axis=1,
+            )
+
+        both = chunked(hash_chunk, (2, L))
+        bucket_ids = both[:, 0, :]
+        detailed = both[:, 1, :].T  # [L, n] fingerprint plane
     else:
         raise ValueError(f"unknown metric {metric!r}")
 
-    sorted_rows, starts = _csr_from_buckets(bucket_ids, n_buckets)
+    # euclidean: order rows by (bucket, fingerprint) so each exact-tuple
+    # cell is a contiguous run the query paths can jump to (_fp_run_starts)
+    sorted_rows, starts = _csr_from_buckets(
+        bucket_ids, n_buckets,
+        secondary=None if detailed is None else detailed.T,
+    )
     return LshIndex(
         metric=metric,
         n_buckets=n_buckets,
@@ -254,28 +320,22 @@ def pack_index(
     if index.metric == "euclidean":
         kw["packed_sqnorm"] = jnp.pad(sq, ((0, 0), (0, pad)))
         if index.detailed is not None:
-            k = index.detailed.shape[-1]
-
-            def one_detailed(args):
-                rows, l = args
-                return index.detailed[rows, l, :]
-
-            pd = jax.lax.map(
-                one_detailed,
-                (index.sorted_rows, jnp.arange(L, dtype=jnp.int32)),
-            )
-            kw["packed_detailed"] = jnp.pad(
-                pd, ((0, 0), (0, pad), (0, 0))
-            ).reshape(L, n + pad, k)
+            # [L, n] fingerprints reordered per table into CSR order
+            pd = jnp.take_along_axis(index.detailed, index.sorted_rows, axis=1)
+            kw["packed_detailed"] = jnp.pad(pd, ((0, 0), (0, pad)))
     return dataclasses.replace(index, **kw)
 
 
 def query_hashes(index: LshIndex, queries: jax.Array) -> Tuple[jax.Array, Optional[jax.Array]]:
-    """Hash queries with the index's family -> (bucket_ids [q, L], detailed)."""
+    """Hash queries with the index's family ->
+    (bucket_ids [q, L], detailed fingerprints [q, L] or None)."""
     if index.metric == "cosine":
         return index.family.bucket_ids(queries), None
     qh = index.family.hash_values(queries)
-    return index.family.bucket_ids_from_hashes(qh, index.n_buckets), qh
+    return (
+        index.family.bucket_ids_from_hashes(qh, index.n_buckets),
+        index.family.fingerprints_from_hashes(qh),
+    )
 
 
 def candidate_mask(
@@ -294,9 +354,8 @@ def candidate_mask(
     q_buckets, q_detailed = query_hashes(index, queries)
     same_bucket = q_buckets[:, None, :] == index.bucket_ids[None, :, :]  # [q, n, L]
     if filtered and index.detailed is not None:
-        same_tuple = jnp.all(
-            q_detailed[:, None, :, :] == index.detailed[None, :, :, :], axis=-1
-        )
+        # fingerprint equality == k-tuple equality (see LshIndex.detailed)
+        same_tuple = q_detailed[:, None, :] == index.detailed.T[None, :, :]
         same_bucket = same_bucket & same_tuple
     return jnp.any(same_bucket, axis=-1)
 
@@ -382,10 +441,10 @@ def candidate_ids(
 def gather_candidate_ids(
     sorted_rows: jax.Array,     # [L, n] CSR member arrays
     bucket_starts: jax.Array,   # [L, nb + 1]
-    detailed: Optional[jax.Array],   # [n, L, k] or None (no filtering)
+    detailed: Optional[jax.Array],   # [L, n] fingerprints or None (no filter)
     n_rows: int,
     q_buckets: jax.Array,       # [q, L]
-    q_detailed: Optional[jax.Array],  # [q, L, k] or None
+    q_detailed: Optional[jax.Array],  # [q, L] fingerprints or None
     budget: int,
     per_table: int = 0,
 ) -> jax.Array:
@@ -401,22 +460,32 @@ def gather_candidate_ids(
             start = bucket_starts[l, b]
             end = bucket_starts[l, b + 1]
             size = end - start
-            # Buckets larger than the window are sampled at a pseudo-random
-            # offset derived from (bucket, table).  A fixed offset (e.g.
-            # always the head, or a per-table stagger) would make a given row
-            # depend on ONE specific table colliding — destroying the L-table
-            # redundancy LSH relies on.  Random offsets keep per-table
-            # coverage independent; buckets <= window are fully covered.
-            max_off = jnp.maximum(size - per_table, 0)
-            golden = jnp.int32(-1640531527)  # 0x9E3779B1 as signed int32
-            mix = (b * golden) ^ (jnp.int32(l) * jnp.int32(40503))
-            roff = jnp.remainder(jnp.abs(mix), max_off + 1)
-            base = start + roff
+            if detailed is not None:
+                # rows are (bucket, fingerprint)-sorted: jump straight to
+                # the query's exact-tuple run (every slot a true match
+                # until the run ends) instead of sampling the bucket
+                base = _fp_run_starts(
+                    lambda p: detailed[l, sorted_rows[l, p]],
+                    start, end, qd[l], n_rows,
+                )
+            else:
+                # Buckets larger than the window are sampled at a
+                # pseudo-random offset derived from (bucket, table).  A
+                # fixed offset (e.g. always the head, or a per-table
+                # stagger) would make a given row depend on ONE specific
+                # table colliding — destroying the L-table redundancy LSH
+                # relies on.  Random offsets keep per-table coverage
+                # independent; buckets <= window are fully covered.
+                max_off = jnp.maximum(size - per_table, 0)
+                golden = jnp.int32(-1640531527)  # 0x9E3779B1 as signed int32
+                mix = (b * golden) ^ (jnp.int32(l) * jnp.int32(40503))
+                roff = jnp.remainder(jnp.abs(mix), max_off + 1)
+                base = start + roff
             offs = base + jnp.arange(per_table, dtype=jnp.int32)
             valid = offs < end
             rows = sorted_rows[l, jnp.minimum(offs, n_rows - 1)]
             if detailed is not None:
-                tuple_ok = jnp.all(detailed[rows, l, :] == qd[l][None, :], axis=-1)
+                tuple_ok = detailed[l, rows] == qd[l]
                 valid = valid & tuple_ok
             return jnp.where(valid, rows, sentinel)
 
@@ -426,7 +495,7 @@ def gather_candidate_ids(
         return _dedup_rank_fixed(gathered, sentinel, budget, L)
 
     if q_detailed is None:
-        q_detailed = jnp.zeros((q_buckets.shape[0], L, 1), jnp.int32)
+        q_detailed = jnp.zeros((q_buckets.shape[0], L), jnp.int32)
     return jax.vmap(per_query)(q_buckets, q_detailed)
 
 
@@ -498,15 +567,23 @@ def _retrieve_topk_block(
             start = index.bucket_starts[l, b]
             end = index.bucket_starts[l, b + 1]
             size = end - start
-            max_off = jnp.maximum(size - per_table, 0)
-            golden = jnp.int32(-1640531527)
-            mix = (b * golden) ^ (jnp.int32(l) * jnp.int32(40503))
-            roff = jnp.remainder(jnp.abs(mix), max_off + 1)
-            offs = start + roff + jnp.arange(per_table, dtype=jnp.int32)
+            if filtered and index.detailed is not None:
+                # jump to the query's exact-tuple run (see _fp_run_starts)
+                base = _fp_run_starts(
+                    lambda p: index.detailed[l, index.sorted_rows[l, p]],
+                    start, end, qd[l], index.n_rows,
+                )
+            else:
+                max_off = jnp.maximum(size - per_table, 0)
+                golden = jnp.int32(-1640531527)
+                mix = (b * golden) ^ (jnp.int32(l) * jnp.int32(40503))
+                roff = jnp.remainder(jnp.abs(mix), max_off + 1)
+                base = start + roff
+            offs = base + jnp.arange(per_table, dtype=jnp.int32)
             valid = offs < end
             rows = index.sorted_rows[l, jnp.minimum(offs, index.n_rows - 1)]
             if filtered and index.detailed is not None:
-                ok = jnp.all(index.detailed[rows, l, :] == qd[l][None, :], axis=-1)
+                ok = index.detailed[l, rows] == qd[l]
                 valid = valid & ok
             return jnp.where(valid, rows, sentinel)
 
@@ -542,7 +619,7 @@ def _retrieve_topk_block(
         return s2, out_ids
 
     if q_detailed is None:
-        q_detailed = jnp.zeros((queries.shape[0], L, 1), jnp.int32)
+        q_detailed = jnp.zeros((queries.shape[0], L), jnp.int32)
     return jax.vmap(per_query)(queries, q_buckets, q_detailed)
 
 
@@ -621,13 +698,13 @@ def packed_retrieve_core(
     packed: jax.Array,           # [L, n_pad, d] CSR-ordered corpus copies
     packed_rows: jax.Array,      # [L, n_pad] int32, sentinel n past the end
     packed_sqnorm: Optional[jax.Array],    # [L, n_pad] f32 (euclidean)
-    packed_detailed: Optional[jax.Array],  # [L, n_pad, k] (None = unfiltered)
+    packed_detailed: Optional[jax.Array],  # [L, n_pad] fingerprints (or None)
     bucket_starts: jax.Array,    # [L, n_buckets + 1]
     n_rows: int,
     metric: str,
     queries: jax.Array,          # [q, d]
     q_buckets: jax.Array,        # [q, L]
-    q_detailed: Optional[jax.Array],  # [q, L, k]
+    q_detailed: Optional[jax.Array],  # [q, L] fingerprints
     top_k: int,
     per_table: int,
     block_rows: int = 128,
@@ -674,14 +751,24 @@ def packed_retrieve_core(
     start = bucket_starts[slab_idx[None, :], q_buckets]          # [q, T]
     end = bucket_starts[slab_idx[None, :], q_buckets + 1]
     size = end - start
-    # same pseudo-random window offset as the unpacked path: keeps
-    # per-table coverage of oversized buckets independent across tables
-    # (see gather_candidate_ids)
-    golden = jnp.int32(-1640531527)
-    mix = (q_buckets * golden) ^ (w_idx[None, :] * jnp.int32(40503))
-    s0 = start + jnp.remainder(
-        jnp.abs(mix), jnp.maximum(size - per_table, 0) + 1
-    )                                                            # [q, T]
+    if packed_detailed is not None:
+        # (bucket, fingerprint)-sorted slabs: start each window at the
+        # query's exact-tuple run via binary search over the CSR-ordered
+        # fingerprint plane (see _fp_run_starts / _csr_from_buckets)
+        flat_fp = packed_detailed.reshape(-1)
+        base = slab_idx[None, :] * n_pad
+        s0 = _fp_run_starts(
+            lambda p: flat_fp[base + p], start, end, q_detailed, n_pad
+        )                                                        # [q, T]
+    else:
+        # pseudo-random window offset: keeps per-table coverage of
+        # oversized buckets independent across tables
+        # (see gather_candidate_ids)
+        golden = jnp.int32(-1640531527)
+        mix = (q_buckets * golden) ^ (w_idx[None, :] * jnp.int32(40503))
+        s0 = start + jnp.remainder(
+            jnp.abs(mix), jnp.maximum(size - per_table, 0) + 1
+        )                                                        # [q, T]
     lim = jnp.minimum(s0 + per_table, end)
 
     blk = (s0 // W)[:, :, None] + jnp.arange(B, dtype=jnp.int32)  # [q, T, B]
@@ -692,12 +779,8 @@ def packed_retrieve_core(
     cand = packed.reshape(nblk * L, W, d)[gidx]             # [q, T*B, W, d]
     rows = packed_rows.reshape(nblk * L, W)[gidx]           # [q, T*B, W]
     if packed_detailed is not None:
-        k = packed_detailed.shape[-1]
-        dblk = packed_detailed.reshape(nblk * L, W, k)[gidx]
-        ok = jnp.all(
-            dblk.reshape(q, T, B, W, k) == q_detailed[:, :, None, None, :],
-            axis=-1,
-        )
+        dblk = packed_detailed.reshape(nblk * L, W)[gidx]
+        ok = dblk.reshape(q, T, B, W) == q_detailed[:, :, None, None]
         valid = valid & ok
 
     qv = queries.astype(jnp.float32)

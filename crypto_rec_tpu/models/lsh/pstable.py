@@ -16,8 +16,21 @@ Reference semantics:
 
 TPU-first: h-values for all n vectors, L tables and k functions come from a
 single [n, d] x [d, L*k] matmul + floor; phi is a tiny weighted reduction.
-The "detailed hash" filter becomes an all-k equality mask computed in the
-query kernel — no per-id hash-map lookups.
+The "detailed hash" filter stores ONE int32 murmur-style FINGERPRINT of the
+k-tuple per (row, table) instead of the raw [n, L, k] tuples — equality of
+fingerprints stands in for equality of tuples.  Two reasons:
+
+* memory/layout: [n, L, k] int32 with a tiny k minor dim pads 128/k x under
+  the TPU's (8, 128) tiling (measured 15.3 GiB for s32[2M, 16, 5] — a 25.6x
+  expansion that OOMs a v5e chip); the [L, n] fingerprint plane pads not at
+  all and is k x smaller unpadded;
+* compare cost: the query-time filter is one int compare per candidate
+  instead of k.
+
+A fingerprint collision (probability ~2^-32 per compared pair) can only
+ADMIT a candidate the exact-tuple filter would have dropped — it can never
+reject a true tuple match — so recall is unaffected and the only effect is
+one extra (low-scoring) candidate entering the ranking.
 """
 
 from __future__ import annotations
@@ -69,3 +82,30 @@ class PStableLsh:
         # nonnegative mod into the table (utils.hpp:97-98 `mod`).
         phi = jnp.sum(h * self.weights[None], axis=-1, dtype=jnp.int32)
         return jnp.remainder(phi, jnp.int32(n_buckets))
+
+    def fingerprints_from_hashes(self, h: jax.Array) -> jax.Array:
+        """[..., L, k] h-values -> [..., L] int32 tuple fingerprints.
+
+        murmur3's stream body over the k lanes (uint32 wrap-around): each
+        h-value is avalanche-mixed, then folded into the running state with
+        the rotate-multiply round.  Deterministic, order-sensitive, and
+        well-distributed even for the near-zero adjacent h-tuples p-stable
+        hashing produces.  See the module docstring for why equality of
+        fingerprints replaces equality of tuples.
+        """
+        u = h.astype(jnp.uint32)
+        fp = jnp.full(h.shape[:-1], 0x9747B28C, jnp.uint32)
+        for i in range(self.k):
+            x = u[..., i] * jnp.uint32(0xCC9E2D51)
+            x = (x << 15) | (x >> 17)
+            x = x * jnp.uint32(0x1B873593)
+            fp = fp ^ x
+            fp = (fp << 13) | (fp >> 19)
+            fp = fp * jnp.uint32(5) + jnp.uint32(0xE6546B64)
+        # final avalanche (fmix32)
+        fp = fp ^ (fp >> 16)
+        fp = fp * jnp.uint32(0x85EBCA6B)
+        fp = fp ^ (fp >> 13)
+        fp = fp * jnp.uint32(0xC2B2AE35)
+        fp = fp ^ (fp >> 16)
+        return fp.astype(jnp.int32)

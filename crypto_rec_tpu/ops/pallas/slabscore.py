@@ -191,6 +191,35 @@ def slab_window_dots(
     return dots, aligned
 
 
+def _dedup_topk_pairs(
+    scores: jax.Array,   # [q, m] with -inf pads
+    ids: jax.Array,      # [q, m] with sentinel >= n_rows on pads
+    n_rows: int,
+    top_k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sort-dedup (score, id) pairs by id and re-select top_k — the same
+    stage-2 epilogue as packed_retrieve_core."""
+    q = scores.shape[0]
+    safe = jnp.minimum(ids, n_rows - 1)
+    order = jnp.argsort(ids, axis=1)
+    ids_sorted = jnp.take_along_axis(safe, order, axis=1)
+    raw_sorted = jnp.take_along_axis(ids, order, axis=1)
+    s_sorted = jnp.take_along_axis(scores, order, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((q, 1), bool), raw_sorted[:, 1:] == raw_sorted[:, :-1]],
+        axis=1,
+    )
+    s_sorted = jnp.where(
+        dup | (raw_sorted >= n_rows) | ~jnp.isfinite(s_sorted),
+        -jnp.inf, s_sorted,
+    )
+    s2, pos2 = jax.lax.top_k(s_sorted, top_k)
+    out_ids = jnp.where(
+        s2 > -jnp.inf, jnp.take_along_axis(ids_sorted, pos2, axis=1), -1
+    )
+    return s2, out_ids
+
+
 def slab_topk(
     dots: jax.Array,          # [q, L, win] from slab_window_dots
     aligned_starts: jax.Array,  # [q, L] local CSR positions of lane 0
@@ -214,25 +243,7 @@ def slab_topk(
     gpos = l_of * n_pad + jnp.minimum(a0 + lane, n_pad - 1)
     ids1 = packed_rows.reshape(-1)[gpos]               # [q, m1]
     ids1 = jnp.where(s1 > -jnp.inf, ids1, n_rows)
-    safe = jnp.minimum(ids1, n_rows - 1)
-
-    order = jnp.argsort(ids1, axis=1)
-    ids_sorted = jnp.take_along_axis(safe, order, axis=1)
-    raw_sorted = jnp.take_along_axis(ids1, order, axis=1)
-    s_sorted = jnp.take_along_axis(s1, order, axis=1)
-    dup = jnp.concatenate(
-        [jnp.zeros((q, 1), bool), raw_sorted[:, 1:] == raw_sorted[:, :-1]],
-        axis=1,
-    )
-    s_sorted = jnp.where(
-        dup | (raw_sorted >= n_rows) | ~jnp.isfinite(s_sorted),
-        -jnp.inf, s_sorted,
-    )
-    s2, pos2 = jax.lax.top_k(s_sorted, top_k)
-    out_ids = jnp.where(
-        s2 > -jnp.inf, jnp.take_along_axis(ids_sorted, pos2, axis=1), -1
-    )
-    return s2, out_ids
+    return _dedup_topk_pairs(s1, ids1, n_rows, top_k)
 
 
 def packed_retrieve_pallas(
@@ -267,6 +278,12 @@ def packed_retrieve_pallas(
 
     qv = queries.astype(jnp.float32)
     qv = qv / jnp.maximum(jnp.linalg.norm(qv, axis=1, keepdims=True), 1e-30)
+    # Negative result (v5e, 2026-08-20): a kernel variant that fused the
+    # per-window top-k after the dot (k sequential max/mask passes on the
+    # VPU, emitting [q, L, top_k] instead of [q, L, win]) measured 434 ms vs
+    # 206 ms for this dots-out + XLA-top-k form at the 2M-row bench point —
+    # the serial selection stalls the MXU/DMA pipeline far longer than the
+    # [q, L, win] HBM round trip it saves.  Don't re-fuse the top-k.
     dots, a0 = slab_window_dots(
         packed, packed_scale, s0, sizes, qv,
         per_table=per_table, q_tile=q_tile, interpret=interpret,

@@ -64,11 +64,11 @@ class ShardedLshIndex:
     family: object
     sorted_rows: jax.Array     # [S, L, n_local]
     bucket_starts: jax.Array   # [S, L, n_buckets + 1]
-    detailed: Optional[jax.Array]  # [S, n_local, L, k] or None
+    detailed: Optional[jax.Array]  # [S, L, n_local] fingerprints or None
     packed: Optional[jax.Array] = None          # [S, L, n_local + pad, d]
     packed_rows: Optional[jax.Array] = None     # [S, L, n_local + pad]
     packed_sqnorm: Optional[jax.Array] = None   # [S, L, n_local + pad]
-    packed_detailed: Optional[jax.Array] = None  # [S, L, n_local + pad, k]
+    packed_detailed: Optional[jax.Array] = None  # [S, L, n_local + pad]
     packed_scale: Optional[jax.Array] = None     # [S, L, n_local + pad] (int8)
 
 
@@ -101,9 +101,14 @@ def build_sharded_index(
             b = fam.bucket_ids(x_blk)
             det = None
         else:
-            det = fam.hash_values(x_blk)
-            b = fam.bucket_ids_from_hashes(det, n_buckets)
-        rows, starts = _csr_from_buckets(b, n_buckets)
+            h = fam.hash_values(x_blk)
+            b = fam.bucket_ids_from_hashes(h, n_buckets)
+            det = fam.fingerprints_from_hashes(h).T  # [L, n_local]
+        # euclidean: (bucket, fingerprint) order so query windows jump to
+        # their exact-tuple run (models/lsh/index._fp_run_starts)
+        rows, starts = _csr_from_buckets(
+            b, n_buckets, secondary=None if det is None else det.T
+        )
         out = (rows[None], starts[None])
         if det is not None:
             out += (det[None],)
@@ -111,7 +116,7 @@ def build_sharded_index(
 
     out_specs = (P("mp", None, None), P("mp", None, None))
     if metric == "euclidean":
-        out_specs += (P("mp", None, None, None),)
+        out_specs += (P("mp", None, None),)
     outs = jax.shard_map(
         body, mesh=mesh, in_specs=(P("mp", None),), out_specs=out_specs,
         check_vma=False,
@@ -179,16 +184,9 @@ def pack_sharded_index(
         if metric == "euclidean":
             out += (jnp.pad(sq, ((0, 0), (0, pad)))[None],)
             if has_det:
-                det = rest[0][0]          # [n_local, L, k]
-
-                def one_det(args):
-                    r, l = args
-                    return det[r, l, :]
-
-                pd = jax.lax.map(
-                    one_det, (rows, jnp.arange(L, dtype=jnp.int32))
-                )
-                out += (jnp.pad(pd, ((0, 0), (0, pad), (0, 0)))[None],)
+                det = rest[0][0]          # [L, n_local] fingerprints
+                pd = jnp.take_along_axis(det, rows, axis=1)
+                out += (jnp.pad(pd, ((0, 0), (0, pad)))[None],)
         return out
 
     in_specs = [P("mp", None, None), P("mp", None)]
@@ -203,10 +201,10 @@ def pack_sharded_index(
         fields.append("packed_sqnorm")
         out_specs += (P("mp", None, None),)
         if has_det:
-            in_specs.append(P("mp", None, None, None))
+            in_specs.append(P("mp", None, None))
             args.append(index.detailed)
             fields.append("packed_detailed")
-            out_specs += (P("mp", *([None] * 3)),)
+            out_specs += (P("mp", None, None),)
     outs = jax.shard_map(
         body, mesh=mesh, in_specs=tuple(in_specs), out_specs=out_specs,
         check_vma=False,
@@ -266,8 +264,9 @@ def sharded_retrieve_topk(
                 qb = fam.bucket_ids(queries)
                 qd = None
             else:
-                qd = fam.hash_values(queries)
-                qb = fam.bucket_ids_from_hashes(qd, index.n_buckets)
+                qh = fam.hash_values(queries)
+                qb = fam.bucket_ids_from_hashes(qh, index.n_buckets)
+                qd = fam.fingerprints_from_hashes(qh)
             core_k = min(4 * top_k, n_local) if quantized else top_k
             loc_vals, loc_ids = packed_retrieve_core(
                 packed[0], prows[0], psq, pdet, starts[0], n_local, metric,
@@ -304,7 +303,7 @@ def sharded_retrieve_topk(
             in_specs.append(P("mp", None, None))
             args.append(index.packed_sqnorm)
             if filtered and index.packed_detailed is not None:
-                in_specs.append(P("mp", *([None] * 3)))
+                in_specs.append(P("mp", None, None))
                 args.append(index.packed_detailed)
         if quantized:
             in_specs.append(P("mp", None))
@@ -321,8 +320,9 @@ def sharded_retrieve_topk(
             qb = fam.bucket_ids(queries)
             qd = None
         else:
-            qd = fam.hash_values(queries)
-            qb = fam.bucket_ids_from_hashes(qd, index.n_buckets)
+            qh = fam.hash_values(queries)
+            qb = fam.bucket_ids_from_hashes(qh, index.n_buckets)
+            qd = fam.fingerprints_from_hashes(qh)
         det_l = det[0] if (filtered and det is not None) else None
         local_ids = gather_candidate_ids(
             rows[0], starts[0], det_l, n_local, qb, qd, budget, per_table
@@ -358,7 +358,7 @@ def sharded_retrieve_topk(
         ids = jnp.take_along_axis(g_ids, pos, axis=1)
         return vals, jnp.where(vals > -jnp.inf, ids, -1)
 
-    det_spec = P("mp", None, None, None) if index.detailed is not None else None
+    det_spec = P("mp", None, None) if index.detailed is not None else None
     in_specs = [P("mp", None, None), P("mp", None, None)]
     args = [index.sorted_rows, index.bucket_starts]
     if index.detailed is not None:
@@ -424,8 +424,9 @@ def sharded_recommend_csr(
             qb = fam.bucket_ids(q_ratings)
             qd = None
         else:
-            qd = fam.hash_values(q_ratings)
-            qb = fam.bucket_ids_from_hashes(qd, index.n_buckets)
+            qh = fam.hash_values(q_ratings)
+            qb = fam.bucket_ids_from_hashes(qh, index.n_buckets)
+            qd = fam.fingerprints_from_hashes(qh)
         det_l = det[0] if (filtered and det is not None) else None
         local_ids = gather_candidate_ids(
             rows[0], starts[0], det_l, n_local, qb, qd, budget, per_table
@@ -480,7 +481,7 @@ def sharded_recommend_csr(
     in_specs = [P("mp", None, None), P("mp", None, None)]
     args = [index.sorted_rows, index.bucket_starts]
     if index.detailed is not None:
-        in_specs.append(P("mp", None, None, None))
+        in_specs.append(P("mp", None, None))
         args.append(index.detailed)
         fn = body
     else:

@@ -81,6 +81,37 @@ def test_detailed_filter_is_stricter():
     assert filtered.sum() <= unfiltered.sum()
 
 
+def test_fingerprint_filter_matches_tuple_oracle():
+    """The [L, n] int32 fingerprint filter (models/lsh/index.LshIndex.detailed)
+    must produce the SAME filtered candidate mask as the reference's exact
+    k-tuple comparison (euclidean_phi_gen.hpp:83-94, cust_hashtable.hpp:73-103)
+    computed here from the raw h-values — i.e., no false negatives ever, and
+    no collisions at this scale."""
+    x = jnp.asarray(RNG.normal(size=(256, 12)).astype(np.float32))
+    idx = build_index(
+        KEY, x, "euclidean", k=4, L=3, lsh_bucket_div=8, euclidean_h_w=2.0
+    )
+    got = np.asarray(candidate_mask(idx, x, filtered=True))
+
+    fam = idx.family
+    h = np.asarray(fam.hash_values(x))                      # [n, L, k] raw tuples
+    b = np.asarray(fam.bucket_ids_from_hashes(jnp.asarray(h), idx.n_buckets))
+    same_bucket = b[:, None, :] == b[None, :, :]            # [q, n, L]
+    same_tuple = (h[:, None, :, :] == h[None, :, :, :]).all(-1)
+    want = (same_bucket & same_tuple).any(-1)
+    np.testing.assert_array_equal(got, want)
+
+    # same-tuple rows share a fingerprint; the distinct tuples here (a few
+    # hundred) must not collide
+    fp = np.asarray(fam.fingerprints_from_hashes(jnp.asarray(h)))  # [n, L]
+    flat_h = h.transpose(1, 0, 2).reshape(-1, h.shape[-1])
+    flat_fp = fp.T.reshape(-1)
+    uniq = {}
+    for tup, f in zip(map(tuple, flat_h.tolist()), flat_fp.tolist()):
+        assert uniq.setdefault(tup, f) == f               # tuple -> one fp
+    assert len(set(uniq.values())) == len(uniq)           # no fp collisions
+
+
 def test_lsh_recall_on_clustered_data():
     # Clustered data: LSH with enough tables should retrieve true neighbors.
     centers = RNG.normal(size=(8, 24)).astype(np.float32) * 5
