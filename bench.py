@@ -214,12 +214,13 @@ def main() -> None:
 
         kernel = "xla"
         retrieve = lambda: retrieve_topk(
-            pidx, queries, corpus, top_k=TOPK, per_table=PT
+            pidx, queries, corpus, top_k=TOPK, per_table=PT, use_pallas=False
         )
-        # the slab kernel wins for bf16 (+13% on v5e, 2026-08-20 probe) but
-        # loses for int8 (the XLA scale-dequant epilogue eats the gain), so
-        # auto only engages it for non-quantized slabs
-        if PALLAS_RETRIEVE and dtype_name != "int8":
+        # the slab kernel covers bf16 (+13% q/s on v5e, 2026-08-20) and
+        # global-scale int8 slabs (scale-free order-preserving dots, half
+        # the DMA bytes); per-row-scale int8 keeps XLA (the scale-gather
+        # epilogue erases the kernel's win)
+        if PALLAS_RETRIEVE and pidx.packed_scale is None:
             from crypto_rec_tpu.models.lsh.index import retrieve_topk_pallas
 
             try:

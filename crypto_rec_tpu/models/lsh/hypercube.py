@@ -137,19 +137,26 @@ def cube_candidate_mask(cube: Hypercube, queries: jax.Array, probes: int) -> jax
     )
 
 
-@functools.partial(jax.jit, static_argnames=("dtype", "pad"))
+@functools.partial(jax.jit, static_argnames=("dtype", "pad", "scale_mode"))
 def pack_cube(
     cube: Hypercube,
     corpus: jax.Array,
     dtype=jnp.bfloat16,
     pad: int = 4096,
+    scale_mode: str = "auto",
 ) -> Hypercube:
     """Attach the packed-slab layout: the corpus rewritten in vertex-CSR
     order (index.pack_index applied to the cube's single table).  Cosine
-    rows are pre-normalized; int8 carries a per-row dequant scale."""
+    rows are pre-normalized.  scale_mode as in pack_index: int8 cosine
+    defaults to one GLOBAL scalar scale (order-preserving raw dots, no
+    packed_scale plane); euclidean keeps per-row scales."""
     n = cube.n_rows
     rows = cube.sorted_rows[0]
     quantized = jnp.issubdtype(jnp.dtype(dtype), jnp.integer)
+    if scale_mode == "auto":
+        scale_mode = "global" if cube.metric == "cosine" else "row"
+    if scale_mode not in ("global", "row"):
+        raise ValueError(f"unknown scale_mode {scale_mode!r}")
 
     g = corpus[rows].astype(jnp.float32)
     if cube.metric == "cosine":
@@ -158,7 +165,10 @@ def pack_cube(
     else:
         sq = jnp.sum(g * g, axis=1)
     scale = None
-    if quantized:
+    if quantized and scale_mode == "global":
+        g_scale = jnp.maximum(jnp.max(jnp.abs(g)), 1e-30) / 127.0
+        g = jnp.clip(jnp.round(g / g_scale), -127, 127)
+    elif quantized:
         amax = jnp.max(jnp.abs(g), axis=1, keepdims=True)
         scale = jnp.maximum(amax, 1e-30) / 127.0
         g = jnp.clip(jnp.round(g / scale), -127, 127)
@@ -170,7 +180,7 @@ def pack_cube(
         "packed": jnp.pad(packed, ((0, pad), (0, 0)))[None],
         "packed_rows": jnp.pad(rows, (0, pad), constant_values=n)[None],
     }
-    if quantized:
+    if scale is not None:
         kw["packed_scale"] = jnp.pad(scale, (0, pad), constant_values=1.0)[None]
     if sq is not None:
         kw["packed_sqnorm"] = jnp.pad(sq, (0, pad))[None]
@@ -204,7 +214,7 @@ def cube_retrieve_topk(
     if cube.packed is None:
         raise ValueError("pack_cube first (packed layout required)")
     masks = jnp.asarray(hamming_probe_order(cube.k, probes))  # [p]
-    quantized = cube.packed_scale is not None
+    quantized = jnp.issubdtype(cube.packed.dtype, jnp.integer)
     core_k = min(4 * top_k, probes * top_k) if quantized else top_k
 
     q = queries.shape[0]

@@ -251,12 +251,13 @@ def build_index(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("dtype", "pad"))
+@functools.partial(jax.jit, static_argnames=("dtype", "pad", "scale_mode"))
 def pack_index(
     index: LshIndex,
     corpus: jax.Array,
     dtype=jnp.bfloat16,
     pad: int = 4096,
+    scale_mode: str = "auto",
 ) -> LshIndex:
     """Attach the packed-slab layout: per-table CSR-ordered corpus copies.
 
@@ -275,15 +276,40 @@ def pack_index(
     `pad` trailing sentinel rows let any window start up to n without
     clamping; retrieve asserts per_table <= pad.
 
-    dtype=jnp.int8 stores symmetric per-row quantized slabs plus a
-    `packed_scale` dequant factor (row ≈ packed * scale): half the bf16
-    gather bytes on the retrieval hot path for ~1/254 max-relative rounding
-    per element — recall-neutral in practice (tests compare against the
-    unpacked path).
+    dtype=jnp.int8 stores symmetric quantized slabs.  scale_mode picks the
+    quantization granularity:
+
+    * "global" (auto default for cosine): ONE scalar scale for the whole
+      index — rows are pre-normalized, so a shared scale makes the raw
+      int8 dot products ORDER-PRESERVING and no `packed_scale` plane or
+      dequant epilogue is needed anywhere on the hot path (the exact f32
+      rerank of the over-fetched survivors restores true scores).  The
+      per-element rounding is bounded by the corpus-max amax instead of
+      each row's own (<= 2x coarser for unit rows), which the 4x
+      over-fetch + rerank absorbs.
+    * "row" (auto default for euclidean, whose -(sq - 2·dot + |q|²) score
+      mixes dots with true norms): per-row scales in `packed_scale`
+      (row ≈ packed * scale), applied by the retrieval epilogue.
     """
     L, n = index.sorted_rows.shape
     d = corpus.shape[1]
     quantized = jnp.issubdtype(jnp.dtype(dtype), jnp.integer)
+    if scale_mode == "auto":
+        scale_mode = "global" if index.metric == "cosine" else "row"
+    if scale_mode not in ("global", "row"):
+        raise ValueError(f"unknown scale_mode {scale_mode!r}")
+    g_scale = None
+    if quantized and scale_mode == "global":
+        # amax over NORMALIZED rows without materializing them: per-row
+        # max|.| / ||.|| (cosine packs normalized rows)
+        if index.metric == "cosine":
+            amax = jnp.max(
+                jnp.max(jnp.abs(corpus), axis=1)
+                / jnp.maximum(jnp.linalg.norm(corpus, axis=1), 1e-30)
+            )
+        else:
+            amax = jnp.max(jnp.abs(corpus))
+        g_scale = jnp.maximum(amax, 1e-30) / 127.0
 
     def one_table(rows):
         g = corpus[rows].astype(jnp.float32)
@@ -294,6 +320,9 @@ def pack_index(
             sq = jnp.zeros((rows.shape[0],), jnp.float32)
         else:
             sq = jnp.sum(g * g, axis=1)
+        if quantized and scale_mode == "global":
+            qg = jnp.clip(jnp.round(g / g_scale), -127, 127).astype(dtype)
+            return qg, sq, jnp.ones((rows.shape[0],), jnp.float32)
         if quantized:
             amax = jnp.max(jnp.abs(g), axis=1, keepdims=True)
             scale = jnp.maximum(amax, 1e-30) / 127.0
@@ -313,7 +342,7 @@ def pack_index(
         index.sorted_rows, ((0, 0), (0, pad)), constant_values=n
     )
     kw: dict = {"packed": packed, "packed_rows": packed_rows}
-    if quantized:
+    if quantized and scale_mode == "row":
         kw["packed_scale"] = jnp.pad(
             scale, ((0, 0), (0, pad)), constant_values=1.0
         )
@@ -501,7 +530,10 @@ def gather_candidate_ids(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("top_k", "per_table", "filtered", "q_block", "block_rows"),
+    static_argnames=(
+        "top_k", "per_table", "filtered", "q_block", "block_rows",
+        "use_pallas",
+    ),
 )
 def retrieve_topk(
     index: LshIndex,
@@ -512,6 +544,7 @@ def retrieve_topk(
     filtered: bool = True,
     q_block: int = 256,
     block_rows: int = 128,
+    use_pallas: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused end-to-end retrieval: bucket gather -> score -> top-k.
 
@@ -535,7 +568,8 @@ def retrieve_topk(
     queries_p = jnp.pad(queries, ((0, pad_q), (0, 0)))
     vals, ids = jax.lax.map(
         lambda blk: _retrieve_topk_block(
-            index, blk, corpus, top_k, per_table, filtered, block_rows
+            index, blk, corpus, top_k, per_table, filtered, block_rows,
+            use_pallas,
         ),
         queries_p.reshape(-1, q_block, queries.shape[1]),
     )
@@ -553,10 +587,12 @@ def _retrieve_topk_block(
     per_table: int,
     filtered: bool,
     block_rows: int = 128,
+    use_pallas: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     if index.packed is not None:
         return _retrieve_topk_block_packed(
-            index, queries, corpus, top_k, per_table, filtered, block_rows
+            index, queries, corpus, top_k, per_table, filtered, block_rows,
+            use_pallas,
         )
     L = index.bucket_ids.shape[1]
     q_buckets, q_detailed = query_hashes(index, queries)
@@ -631,26 +667,37 @@ def _retrieve_topk_block_packed(
     per_table: int,
     filtered: bool,
     block_rows: int = 128,
+    use_pallas: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
+    quantized = jnp.issubdtype(index.packed.dtype, jnp.integer)
     # Auto-engage the fused slab-score Pallas kernel where it is measured
-    # faster (v5e 2026-08-20: +13% q/s for bf16 slabs; int8 loses to its
-    # XLA dequant epilogue, euclidean/filtered are out of kernel scope).
+    # faster (v5e 2026-08-20: +13% q/s for bf16 slabs).  Scope: cosine,
+    # scale-free slabs (bf16, or global-scale int8 whose raw dots are
+    # order-preserving — pack_index scale_mode); per-row-scale int8 keeps
+    # the XLA path (the scale-gather epilogue erases the kernel's win),
+    # euclidean/filtered are out of kernel scope.
     if (
         index.metric == "cosine"
         and index.packed_scale is None
         and index.packed.shape[-1] % 128 == 0
         and index.packed.shape[1] >= per_table + 160
-        and jax.default_backend() == "tpu"
+        and resolve_use_pallas(use_pallas)
     ):
         from crypto_rec_tpu.ops.pallas.slabscore import packed_retrieve_pallas
 
         q_buckets, _ = query_hashes(index, queries)
-        return packed_retrieve_pallas(
-            index.packed, index.packed_rows, None, index.bucket_starts,
-            index.n_rows, queries, q_buckets, top_k, per_table,
+        core_k = (
+            min(4 * top_k, index.sorted_rows.shape[0] * top_k)
+            if quantized else top_k
         )
+        s, ids = packed_retrieve_pallas(
+            index.packed, index.packed_rows, None, index.bucket_starts,
+            index.n_rows, queries, q_buckets, core_k, per_table,
+        )
+        if not quantized:
+            return s, ids
+        return rerank_exact(corpus, index.metric, queries, ids, top_k)
     q_buckets, q_detailed = query_hashes(index, queries)
-    quantized = index.packed_scale is not None
     # int8 slabs: over-fetch 4x, then rescore the survivors exactly so
     # quantization cannot permute the final top-k (see rerank_exact)
     core_k = min(4 * top_k, index.sorted_rows.shape[0] * top_k) if quantized else top_k
@@ -858,7 +905,7 @@ def retrieve_topk_pallas(
     from crypto_rec_tpu.ops.pallas.slabscore import packed_retrieve_pallas
 
     q_buckets, _ = query_hashes(index, queries)
-    quantized = index.packed_scale is not None
+    quantized = jnp.issubdtype(index.packed.dtype, jnp.integer)
     core_k = min(4 * top_k, index.sorted_rows.shape[0] * top_k) if quantized else top_k
     s, ids = packed_retrieve_pallas(
         index.packed, index.packed_rows, index.packed_scale,

@@ -23,12 +23,14 @@ Window starts are therefore aligned DOWN to _ALIGN=32 rows host-side (the
 widened by one extra 128 block; a per-window `head` offset masks the
 [0, head) prefix.
 
-Supports the bf16 and int8-quantized slab layouts (int8 dots are
-dequantized post-kernel by an XLA aligned-block gather of the per-row
-scales — a [win, 1] f32 DMA is not lane-tileable).  Cosine only: rows are pre-normalized by
-pack_index, so the dot IS the similarity.  Reference semantics mirrored:
-one window per hash table per query, L-table union downstream
-(/root/reference/lib/lsh_cube.hpp:77-106).
+Supports three slab layouts: bf16, GLOBAL-scale int8 (pack_index
+scale_mode="global" — one scalar scale, raw dots order-preserving, no
+dequant anywhere; half the DMA bytes of bf16), and per-row-scale int8
+(dots dequantized post-kernel by an XLA aligned-block gather of the
+per-row scales — a [win, 1] f32 DMA is not lane-tileable).  Cosine only:
+rows are pre-normalized by pack_index, so the dot IS the similarity.
+Reference semantics mirrored: one window per hash table per query,
+L-table union downstream (/root/reference/lib/lsh_cube.hpp:77-106).
 """
 
 from __future__ import annotations
@@ -44,7 +46,8 @@ from jax.experimental.pallas import tpu as pltpu
 _ALIGN = 32  # covers the sublane tile of f32 (8), bf16 (16), and int8 (32)
 
 
-def _make_kernel(L: int, win: int, d: int, qt: int, nbuf: int = 4):
+def _make_kernel(L: int, win: int, d: int, qt: int, nbuf: int = 4,
+                 unroll: int = 1):
     def kernel(meta_ref, packed_hbm, q_ref, dots_ref, slab, sem_s):
         total = qt * L
 
@@ -88,13 +91,13 @@ def _make_kernel(L: int, win: int, d: int, qt: int, nbuf: int = 4):
             dots_ref[qi, l, :] = jnp.where(valid, dots, -jnp.inf)
             return 0
 
-        jax.lax.fori_loop(0, total, step, 0)
+        jax.lax.fori_loop(0, total, step, 0, unroll=unroll)
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("per_table", "q_tile", "interpret")
+    jax.jit, static_argnames=("per_table", "q_tile", "interpret", "unroll")
 )
 def slab_window_dots(
     packed: jax.Array,           # [L, n_pad, d] bf16/int8 CSR-ordered slabs
@@ -105,6 +108,7 @@ def slab_window_dots(
     per_table: int,
     q_tile: int = 16,
     interpret: bool = False,
+    unroll: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """-> (dots [q, L, win] f32 with -inf outside the window,
            aligned window starts [q, L] int32, LOCAL to each table).
@@ -121,9 +125,10 @@ def slab_window_dots(
     win = (per_table + _ALIGN + 127) // 128 * 128
     if n_pad < win:
         raise ValueError(f"window {win} exceeds packed length {n_pad}")
-    quantized = jnp.issubdtype(packed.dtype, jnp.integer)
-    if quantized and packed_scale is None:
-        raise ValueError("int8 slabs require packed_scale")
+    # int8 with packed_scale=None is the GLOBAL-scale layout (pack_index
+    # scale_mode="global"): one scalar scale for the whole index, so the
+    # raw dots are order-preserving and need no dequant — callers rerank
+    # the survivors exactly in f32.  Per-row scale gets the XLA epilogue.
 
     # align starts down to the DMA tile; clamp so start + win stays in range
     aligned = jnp.minimum((starts // _ALIGN) * _ALIGN, n_pad - win)
@@ -146,8 +151,8 @@ def slab_window_dots(
         [aligned + l_off[None, :], head, size], axis=1
     ).astype(jnp.int32)                                   # [qp, 3L]
 
-    nbuf = 4
-    kernel = _make_kernel(L, win, d, q_tile, nbuf)
+    nbuf = max(4, 2 * unroll)
+    kernel = _make_kernel(L, win, d, q_tile, nbuf, unroll)
     scratch = [
         pltpu.VMEM((nbuf, win, d), packed.dtype),
         pltpu.SemaphoreType.DMA((nbuf,)),
@@ -173,7 +178,7 @@ def slab_window_dots(
     dots = dots[:q]
     aligned = aligned[:q]
 
-    if quantized:
+    if packed_scale is not None:
         # Per-row dequant applied OUTSIDE the kernel: a [win, 1] f32 DMA is
         # not lane-tileable on TPU (Mosaic requires 128-aligned slices in
         # the last dim), so the scale windows are gathered in XLA as

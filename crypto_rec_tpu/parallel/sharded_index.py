@@ -141,11 +141,17 @@ def pack_sharded_index(
     corpus: jax.Array,   # [n, d] row-sharded over "mp" (the indexed rows)
     dtype=jnp.bfloat16,
     pad: int = 4096,
+    scale_mode: str = "auto",
 ) -> ShardedLshIndex:
     """Per-shard packed-slab layout (models/lsh/index.pack_index, applied
     shard-locally): each shard rewrites ITS corpus rows in CSR order so its
     retrieval leg gathers aligned blocks at streaming bandwidth.  No
-    collectives — packing is as embarrassingly parallel as the build."""
+    collectives — packing is as embarrassingly parallel as the build.
+
+    scale_mode as in pack_index; "global" (int8 cosine auto) uses a
+    SHARD-local scalar scale with no collective — consistency across shards
+    is unnecessary because each shard reranks its survivors exactly in f32
+    BEFORE the all_gather merge (sharded_retrieve_topk)."""
     n_local = index.n_local
     L = index.sorted_rows.shape[1]
     d = corpus.shape[1]
@@ -153,9 +159,24 @@ def pack_sharded_index(
     pad = -(n_local + pad) % 512 + pad  # align to the block grid
     has_det = index.detailed is not None
     quantized = jnp.issubdtype(jnp.dtype(dtype), jnp.integer)
+    if scale_mode == "auto":
+        scale_mode = "global" if metric == "cosine" else "row"
+    if scale_mode not in ("global", "row"):
+        raise ValueError(f"unknown scale_mode {scale_mode!r}")
+    row_scaled = quantized and scale_mode == "row"
 
     def body(rows, corpus_blk, *rest):
         rows = rows[0]                    # [L, n_local]
+        g_scale = None
+        if quantized and scale_mode == "global":
+            if metric == "cosine":
+                amax = jnp.max(
+                    jnp.max(jnp.abs(corpus_blk), axis=1)
+                    / jnp.maximum(jnp.linalg.norm(corpus_blk, axis=1), 1e-30)
+                )
+            else:
+                amax = jnp.max(jnp.abs(corpus_blk))
+            g_scale = jnp.maximum(amax, 1e-30) / 127.0
 
         def one_table(r):
             g = corpus_blk[r].astype(jnp.float32)
@@ -166,6 +187,9 @@ def pack_sharded_index(
                 s = jnp.zeros((r.shape[0],), jnp.float32)
             else:
                 s = jnp.sum(g * g, axis=1)
+            if quantized and scale_mode == "global":
+                g = jnp.clip(jnp.round(g / g_scale), -127, 127)
+                return g.astype(dtype), s, jnp.ones((r.shape[0],), jnp.float32)
             if quantized:
                 amax = jnp.max(jnp.abs(g), axis=1, keepdims=True)
                 scale = jnp.maximum(amax, 1e-30) / 127.0
@@ -177,7 +201,7 @@ def pack_sharded_index(
         packed = jnp.pad(packed, ((0, 0), (0, pad), (0, 0)))
         prows = jnp.pad(rows, ((0, 0), (0, pad)), constant_values=n_local)
         out = (packed[None], prows[None])
-        if quantized:
+        if row_scaled:
             out += (jnp.pad(
                 scale, ((0, 0), (0, pad)), constant_values=1.0
             )[None],)
@@ -194,7 +218,7 @@ def pack_sharded_index(
     # outputs, in body's emission order: packed, rows, [scale], [sq, [det]]
     fields = ["packed", "packed_rows"]
     out_specs = (P("mp", *([None] * 3)), P("mp", None, None))
-    if quantized:
+    if row_scaled:
         fields.append("packed_scale")
         out_specs += (P("mp", None, None),)
     if metric == "euclidean":
@@ -215,7 +239,8 @@ def pack_sharded_index(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mesh", "budget", "per_table", "top_k", "filtered", "block_rows"
+        "mesh", "budget", "per_table", "top_k", "filtered", "block_rows",
+        "use_pallas", "pallas_interpret",
     ),
 )
 def sharded_retrieve_topk(
@@ -228,6 +253,8 @@ def sharded_retrieve_topk(
     per_table: int = 0,
     filtered: bool = True,
     block_rows: int = 128,
+    use_pallas: Optional[bool] = None,
+    pallas_interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """-> (scores [q, top_k] descending, global row ids [q, top_k], -1 pad).
 
@@ -235,20 +262,34 @@ def sharded_retrieve_topk(
     (metric="euclidean") so descending always means nearest-first.
 
     With a packed index (pack_sharded_index) each shard's leg runs the
-    aligned-block packed_retrieve_core instead of random row gathers; the
-    all_gather top-k merge is identical.
+    aligned-block packed retrieval instead of random row gathers; the
+    all_gather top-k merge is identical.  On a TPU backend (use_pallas
+    auto), scale-free cosine slabs route each shard's leg through the
+    fused slab-score Pallas kernel inside the shard_map — collectives and
+    kernels compose; pallas_interpret lets CPU-mesh tests run the kernel
+    leg in interpret mode.
     """
     metric = index.metric
     fam = index.family
     n_local = index.n_local
 
     if index.packed is not None:
-        quantized = index.packed_scale is not None
+        quantized = jnp.issubdtype(index.packed.dtype, jnp.integer)
+        has_scale = index.packed_scale is not None  # row-scale int8 only
+        from crypto_rec_tpu.models.lsh.index import resolve_use_pallas
+
+        use_kernel = (
+            metric == "cosine"
+            and not has_scale
+            and index.packed.shape[-1] % 128 == 0
+            and index.packed.shape[2] >= (per_table or budget) + 160
+            and (resolve_use_pallas(use_pallas) or pallas_interpret)
+        )
 
         def body_packed(packed, prows, starts, *rest):
             psq = pdet = pscale = None
             i = 0
-            if quantized:
+            if has_scale:
                 pscale = rest[i][0]
                 i += 1
             if metric == "euclidean":
@@ -268,11 +309,22 @@ def sharded_retrieve_topk(
                 qb = fam.bucket_ids_from_hashes(qh, index.n_buckets)
                 qd = fam.fingerprints_from_hashes(qh)
             core_k = min(4 * top_k, n_local) if quantized else top_k
-            loc_vals, loc_ids = packed_retrieve_core(
-                packed[0], prows[0], psq, pdet, starts[0], n_local, metric,
-                queries, qb, qd, core_k, per_table or budget, block_rows,
-                packed_scale=pscale,
-            )
+            if use_kernel:
+                from crypto_rec_tpu.ops.pallas.slabscore import (
+                    packed_retrieve_pallas,
+                )
+
+                loc_vals, loc_ids = packed_retrieve_pallas(
+                    packed[0], prows[0], None, starts[0], n_local,
+                    queries, qb, core_k, per_table or budget,
+                    interpret=pallas_interpret,
+                )
+            else:
+                loc_vals, loc_ids = packed_retrieve_core(
+                    packed[0], prows[0], psq, pdet, starts[0], n_local,
+                    metric, queries, qb, qd, core_k, per_table or budget,
+                    block_rows, packed_scale=pscale,
+                )
             if quantized:
                 # exact f32 rescoring of the shard-local survivors (see
                 # models/lsh/index.rerank_exact): quantization cannot
@@ -296,7 +348,7 @@ def sharded_retrieve_topk(
             P("mp", *([None] * 3)), P("mp", None, None), P("mp", None, None),
         ]
         args = [index.packed, index.packed_rows, index.bucket_starts]
-        if index.packed_scale is not None:
+        if has_scale:
             in_specs.append(P("mp", None, None))
             args.append(index.packed_scale)
         if metric == "euclidean":

@@ -63,7 +63,8 @@ def test_packed_index_roundtrip(tmp_path):
         pidx2 = load_index(p)
         assert pidx2.packed is not None and pidx2.packed.dtype == dtype
         if dtype == jnp.int8:
-            assert pidx2.packed_scale is not None
+            # cosine int8 packs global-scale: no packed_scale plane to save
+            assert pidx2.packed_scale is None
         s1, i1 = retrieve_topk(pidx, q, x, top_k=5, per_table=64)
         s2, i2 = retrieve_topk(pidx2, q, x, top_k=5, per_table=64)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))

@@ -163,7 +163,9 @@ def test_packed_int8_matches_unpacked():
         )
         pidx = pack_index(idx, x, dtype=jnp.int8, pad=256)
         assert pidx.packed.dtype == jnp.int8
-        assert pidx.packed_scale is not None
+        # cosine auto-packs with ONE global scale (order-preserving raw
+        # dots, no scale plane); euclidean needs per-row scales
+        assert (pidx.packed_scale is None) == (metric == "cosine")
         ws, wi = retrieve_topk(idx, q, x, top_k=8, per_table=128)
         gs, gi = retrieve_topk(pidx, q, x, top_k=8, per_table=128)
         ws, wi, gs, gi = map(np.asarray, (ws, wi, gs, gi))

@@ -153,7 +153,8 @@ def test_sharded_packed_int8_rerank_matches_unpacked():
     )
     index = build_sharded_index(mesh, KEY, corpus, "cosine", k=6, L=6)
     pidx = pack_sharded_index(mesh, index, corpus, dtype=jnp.int8, pad=512)
-    assert pidx.packed.dtype == jnp.int8 and pidx.packed_scale is not None
+    # cosine int8 auto-packs global-scale: no per-row scale plane
+    assert pidx.packed.dtype == jnp.int8 and pidx.packed_scale is None
     ws, wi = sharded_retrieve_topk(
         mesh, index, queries, corpus, budget=256, top_k=10, per_table=256
     )
@@ -170,3 +171,34 @@ def test_sharded_packed_int8_rerank_matches_unpacked():
         assert len(shared) >= len(want) - 1, (qi, want, got)
         for c in shared:
             assert abs(want[c] - got[c]) < 1e-4, (qi, c, want[c], got[c])
+
+
+def test_sharded_pallas_leg_matches_xla():
+    """The fused slab-score kernel inside the shard_map (per-shard leg of
+    sharded_retrieve_topk, interpret mode) returns the same merged top-k
+    as the per-shard XLA packed core — bf16 and global-scale int8."""
+    from crypto_rec_tpu.parallel.sharded_index import pack_sharded_index
+
+    mesh = make_mesh((1, 8))
+    n, d, q = 8 * 512, 128, 16   # d % 128 == 0: kernel eligibility
+    corpus_np = _clustered(n, d)
+    corpus = shard_corpus(mesh, jnp.asarray(corpus_np))
+    queries = jnp.asarray(
+        corpus_np[:q] + 0.01 * RNG.normal(size=(q, d)).astype(np.float32)
+    )
+    index = build_sharded_index(mesh, KEY, corpus, "cosine", k=5, L=4)
+    for dtype in (jnp.bfloat16, jnp.int8):
+        pidx = pack_sharded_index(mesh, index, corpus, dtype=dtype, pad=1024)
+        assert pidx.packed_scale is None  # kernel-eligible (scale-free)
+        xs, xi = sharded_retrieve_topk(
+            mesh, pidx, queries, corpus, budget=256, top_k=8, per_table=256,
+            use_pallas=False,
+        )
+        ps, pi = sharded_retrieve_topk(
+            mesh, pidx, queries, corpus, budget=256, top_k=8, per_table=256,
+            use_pallas=True, pallas_interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(xi), np.asarray(pi))
+        np.testing.assert_allclose(
+            np.asarray(xs), np.asarray(ps), rtol=1e-5, atol=1e-5
+        )
