@@ -839,8 +839,13 @@ def packed_retrieve_core(
         # int8 slab: MXU-friendly bf16 upcast (exact for |v| <= 127), then
         # per-row dequant of the dot — the HBM read stays 1 byte/element
         cand = cand.astype(jnp.bfloat16)
+    # score in the slab's own dtype (f32 accumulate): feeding the MXU bf16
+    # on both sides skips an elementwise f32 upcast of the gathered windows
+    # and matches the Pallas kernel's precision exactly (slab rounding is
+    # already the packed path's documented tolerance)
     dots = jnp.einsum(
-        "qd,qmwd->qmw", qv, cand, preferred_element_type=jnp.float32
+        "qd,qmwd->qmw", qv.astype(cand.dtype), cand,
+        preferred_element_type=jnp.float32,
     )
     if packed_scale is not None:
         dots = dots * packed_scale.reshape(nblk * L, W)[gidx]

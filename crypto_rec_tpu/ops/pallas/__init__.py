@@ -7,4 +7,4 @@ is the semantic source of truth, and tests assert elementwise equality.
 """
 
 from crypto_rec_tpu.ops.pallas.signproj import signproj_bucket_ids  # noqa: F401
-from crypto_rec_tpu.ops.pallas.gather import gather_bucket_windows  # noqa: F401
+from crypto_rec_tpu.ops.pallas.slabscore import packed_retrieve_pallas  # noqa: F401

@@ -77,8 +77,14 @@ def _make_kernel(L: int, win: int, d: int, qt: int, nbuf: int = 4,
             dma(slot, w).wait()
             qi = w // L
             l = w % L
-            vec = q_ref[qi, :].astype(jnp.float32)          # [d]
-            x = slab[slot].astype(jnp.float32)              # [win, d]
+            x = slab[slot]                                   # [win, d]
+            # feed the MXU its native input dtype: bf16 slabs dot as bf16
+            # (f32 accumulate) with no elementwise cast of the window; int8
+            # upcasts to bf16 (exact for |v| <= 127).  Casting the window
+            # to f32 on the VPU costs more than the matvec itself.
+            if x.dtype == jnp.int8:
+                x = x.astype(jnp.bfloat16)
+            vec = q_ref[qi, :].astype(x.dtype)               # [d]
             dots = jax.lax.dot_general(
                 x, vec.reshape(d, 1),
                 (((1,), (0,)), ((), ())),
@@ -91,7 +97,10 @@ def _make_kernel(L: int, win: int, d: int, qt: int, nbuf: int = 4,
             dots_ref[qi, l, :] = jnp.where(valid, dots, -jnp.inf)
             return 0
 
-        jax.lax.fori_loop(0, total, step, 0, unroll=unroll)
+        # Mosaic supports only unroll=1 or a FULL unroll of the loop
+        jax.lax.fori_loop(
+            0, total, step, 0, unroll=(total if unroll else 1)
+        )
 
     return kernel
 

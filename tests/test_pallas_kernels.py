@@ -6,7 +6,6 @@ import jax.numpy as jnp
 
 from crypto_rec_tpu.models.lsh.hyperplane import CosineLsh
 from crypto_rec_tpu.ops.pallas.signproj import signproj_bucket_ids
-from crypto_rec_tpu.ops.pallas.gather import gather_bucket_windows
 
 RNG = np.random.default_rng(23)
 KEY = jax.random.PRNGKey(3)
@@ -32,28 +31,6 @@ def test_signproj_ragged_rows():
         signproj_bucket_ids(x, fam.proj, k, L, block_rows=64, interpret=True)
     )
     np.testing.assert_array_equal(got, want)
-
-
-def test_gather_bucket_windows():
-    L, n, W, q = 3, 64, 8, 10
-    sorted_rows = jnp.asarray(
-        np.stack([RNG.permutation(n) for _ in range(L)]).astype(np.int32)
-    )
-    starts = jnp.asarray(RNG.integers(0, n, size=(q, L)).astype(np.int32))
-    sizes = jnp.asarray(RNG.integers(0, W + 1, size=(q, L)).astype(np.int32))
-    sizes = jnp.minimum(sizes, n - starts)  # CSR invariant
-    got = np.asarray(
-        gather_bucket_windows(sorted_rows, starts, sizes, window=W, interpret=True)
-    )
-    rows = np.asarray(sorted_rows)
-    for i in range(q):
-        for l in range(L):
-            s, size = int(starts[i, l]), int(sizes[i, l])
-            for w in range(W):
-                if w < size and s + w < n:  # CSR invariant: start+size<=n in real use
-                    assert got[i, l, w] == rows[l, s + w]
-                else:
-                    assert got[i, l, w] == n, (i, l, w, got[i, l, w])
 
 
 class TestSlabScore:
