@@ -78,18 +78,14 @@ def _make_kernel(L: int, win: int, d: int, qt: int, nbuf: int = 4,
             qi = w // L
             l = w % L
             x = slab[slot]                                   # [win, d]
-            # feed the MXU its native input dtype: bf16 slabs dot as bf16
-            # (f32 accumulate) with no elementwise cast of the window; int8
-            # upcasts to bf16 (exact for |v| <= 127).  Casting the window
-            # to f32 on the VPU costs more than the matvec itself.
-            if x.dtype == jnp.int8:
-                x = x.astype(jnp.bfloat16)
-            vec = q_ref[qi, :].astype(x.dtype)               # [d]
-            dots = jax.lax.dot_general(
-                x, vec.reshape(d, 1),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )[:, 0]                                          # [win]
+            # VPU f32 multiply + lane reduce.  An MXU matvec would need a
+            # [d, 1] rhs, and Mosaic (libtpu 2026-08-21) rejects both the
+            # (d,) -> (d, 1) vector reshape and 1-D-rhs tpu.matmul; the VPU
+            # form is legal, and exact-f32 (vs the matvec's bf16 products).
+            vec = q_ref[qi, :]                               # [d] f32
+            dots = jnp.sum(
+                x.astype(jnp.float32) * vec[None, :], axis=1
+            )                                                # [win]
             head = meta_ref[qi, L + l]
             size = meta_ref[qi, 2 * L + l]
             lane = jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)[:, 0]
@@ -105,8 +101,62 @@ def _make_kernel(L: int, win: int, d: int, qt: int, nbuf: int = 4,
     return kernel
 
 
+def _make_kernel_fused(L: int, win: int, d: int, qt: int, nbuf: int = 2):
+    """One loop step per QUERY: the L table windows are DMA'd together into
+    one [L, win, d] slot and dotted as a single [L*win, d] x [d, 1] matvec.
+
+    Rationale (v5e probe, benchmarks/experiments/probe_slab.py): at constant
+    scored bytes, halving the window count raised q/s 1.4x — the per-window
+    kernel is bound by per-iteration overhead (scalar-core address math, DMA
+    wait bookkeeping, matvec launch), not by DMA bytes.  Fusing the L
+    windows of a query cuts loop iterations and matvec launches by L while
+    keeping the DMA pipeline depth (all L copies are in flight at once,
+    nbuf queries deep).  Validity masking moves OUTSIDE the kernel (an XLA
+    `where` that fuses into the top-k consumer) so the step body is pure
+    DMA + MXU.
+    """
+    def kernel(meta_ref, packed_hbm, q_ref, dots_ref, slab, sem_s):
+        def dma(slot, qi, l):
+            start = pl.multiple_of(meta_ref[qi, l], _ALIGN)
+            return pltpu.make_async_copy(
+                packed_hbm.at[pl.ds(start, win), :],
+                slab.at[slot, l], sem_s.at[slot, l],
+            )
+
+        def issue(slot, qi):
+            for l in range(L):
+                dma(slot, qi, l).start()
+
+        depth = min(nbuf - 1, qt)
+        for pre in range(depth):
+            issue(pre, pre)
+
+        def step(qi, _):
+            @pl.when(qi + depth < qt)
+            def _():
+                issue((qi + depth) % nbuf, qi + depth)
+
+            slot = qi % nbuf
+            for l in range(L):
+                dma(slot, qi, l).wait()
+            x = slab[slot].reshape(L * win, d)
+            # VPU f32 multiply + lane reduce (see _make_kernel: Mosaic on
+            # this toolchain rejects every 1-column MXU matvec form)
+            vec = q_ref[qi, :]                               # [d] f32
+            dots = jnp.sum(
+                x.astype(jnp.float32) * vec[None, :], axis=1
+            )                                                # [L * win]
+            dots_ref[qi] = dots.reshape(L, win)
+            return 0
+
+        jax.lax.fori_loop(0, qt, step, 0)
+
+    return kernel
+
+
 @functools.partial(
-    jax.jit, static_argnames=("per_table", "q_tile", "interpret", "unroll")
+    jax.jit,
+    static_argnames=("per_table", "q_tile", "interpret", "unroll", "fuse_l"),
 )
 def slab_window_dots(
     packed: jax.Array,           # [L, n_pad, d] bf16/int8 CSR-ordered slabs
@@ -118,6 +168,7 @@ def slab_window_dots(
     q_tile: int = 16,
     interpret: bool = False,
     unroll: int = 1,
+    fuse_l: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """-> (dots [q, L, win] f32 with -inf outside the window,
            aligned window starts [q, L] int32, LOCAL to each table).
@@ -160,12 +211,20 @@ def slab_window_dots(
         [aligned + l_off[None, :], head, size], axis=1
     ).astype(jnp.int32)                                   # [qp, 3L]
 
-    nbuf = max(4, 2 * unroll)
-    kernel = _make_kernel(L, win, d, q_tile, nbuf, unroll)
-    scratch = [
-        pltpu.VMEM((nbuf, win, d), packed.dtype),
-        pltpu.SemaphoreType.DMA((nbuf,)),
-    ]
+    if fuse_l:
+        nbuf = 2
+        kernel = _make_kernel_fused(L, win, d, q_tile, nbuf)
+        scratch = [
+            pltpu.VMEM((nbuf, L, win, d), packed.dtype),
+            pltpu.SemaphoreType.DMA((nbuf, L)),
+        ]
+    else:
+        nbuf = max(4, 2 * unroll)
+        kernel = _make_kernel(L, win, d, q_tile, nbuf, unroll)
+        scratch = [
+            pltpu.VMEM((nbuf, win, d), packed.dtype),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+        ]
     dots = pl.pallas_call(
         kernel,
         grid=(qp // q_tile,),
@@ -186,6 +245,15 @@ def slab_window_dots(
     )
     dots = dots[:q]
     aligned = aligned[:q]
+    if fuse_l:
+        # the fused kernel emits raw lane dots; the window-validity mask is
+        # an XLA `where` here, which fuses into the top-k consumer — no
+        # extra HBM traffic, and the kernel step stays pure DMA + MXU
+        lane = jnp.arange(win, dtype=jnp.int32)[None, None, :]
+        valid = (lane >= head[:q, :, None]) & (
+            lane < (head + size)[:q, :, None]
+        )
+        dots = jnp.where(valid, dots, -jnp.inf)
 
     if packed_scale is not None:
         # Per-row dequant applied OUTSIDE the kernel: a [win, 1] f32 DMA is
