@@ -112,3 +112,30 @@ class TestSlabScore:
         np.testing.assert_allclose(
             np.asarray(s_x), np.asarray(s_p), atol=1e-5
         )
+
+    def test_fused_l_matches_per_window_kernel(self):
+        """The fused-L kernel form (one step per query) must produce
+        bit-identical dots to the per-window form: both run the same VPU
+        f32 multiply + lane reduce over the same rows (verified bit-equal
+        on v5e hardware 2026-08-21; this pins it in interpret mode)."""
+        from crypto_rec_tpu.models.lsh.index import query_hashes
+        from crypto_rec_tpu.ops.pallas.slabscore import slab_window_dots
+
+        for dtype in (jnp.bfloat16, jnp.int8):
+            pidx, x, qs = self._setup(dtype)
+            qb, _ = query_hashes(pidx, qs)
+            L = pidx.packed.shape[0]
+            l_idx = jnp.arange(L, dtype=jnp.int32)
+            start = pidx.bucket_starts[l_idx[None, :], qb]
+            end = pidx.bucket_starts[l_idx[None, :], qb + 1]
+            sizes = jnp.minimum(end - start, 200)
+            qv = qs / jnp.linalg.norm(qs, axis=1, keepdims=True)
+            outs = {}
+            for fuse in (False, True):
+                d_, a_ = slab_window_dots(
+                    pidx.packed, None, start, sizes, qv, per_table=200,
+                    interpret=True, fuse_l=fuse,
+                )
+                outs[fuse] = (np.asarray(d_), np.asarray(a_))
+            np.testing.assert_array_equal(outs[False][1], outs[True][1])
+            np.testing.assert_array_equal(outs[False][0], outs[True][0])
