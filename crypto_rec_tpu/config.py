@@ -48,6 +48,15 @@ class RecConfig:
     topP: int = 20                 # P; usually overridden by the dataset header line
     block_rows: int = 4096         # row-block size for blocked distance matmuls
     use_pallas: Optional[bool] = None  # None => auto (pallas on TPU)
+    # LSH candidate engine for the pipeline's LSH phases:
+    #   "mask" — dense [q, n] candidate mask, exact reference semantics,
+    #            O(q*n) memory (fine to ~10^5 users);
+    #   "csr"  — fixed-budget CSR retrieval (candidate_ids) + gathered
+    #            scoring (recommend_from_ids), O(q*budget) memory — the
+    #            scalable engine, identical output whenever candidate_budget
+    #            covers each query's bucket union;
+    #   "auto" — csr when the mask would exceed ~256 MB, else mask.
+    engine: str = "auto"
 
     def replace(self, **kw) -> "RecConfig":
         return dataclasses.replace(self, **kw)

@@ -30,12 +30,25 @@ def build_argparser() -> argparse.ArgumentParser:
         "--silhouette", action="store_true",
         help="evaluate cluster silhouettes in the clustering phases",
     )
+    p.add_argument(
+        "--engine", choices=("auto", "mask", "csr"), default=None,
+        help="LSH candidate engine: dense mask (reference-exact, O(q*n)) "
+             "or CSR fixed-budget retrieval (scalable); default auto",
+    )
+    p.add_argument(
+        "--budget", type=int, default=None,
+        help="per-query candidate budget for the csr engine",
+    )
     return p
 
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     cfg = load_config(args.config_file, RecConfig(seed=args.seed))
+    if args.engine is not None:
+        cfg = cfg.replace(engine=args.engine)
+    if args.budget is not None:
+        cfg = cfg.replace(candidate_budget=args.budget)
     import contextlib
 
     trace_ctx = contextlib.nullcontext()

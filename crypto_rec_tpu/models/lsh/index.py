@@ -403,8 +403,9 @@ def _dedup_fixed(ids: jax.Array, sentinel: int, budget: int) -> jax.Array:
 
 
 def _dedup_rank_fixed(
-    ids: jax.Array, sentinel: int, budget: int, n_tables: int
-) -> jax.Array:
+    ids: jax.Array, sentinel: int, budget: int, n_tables: int,
+    with_count: bool = False,
+):
     """Dedup + rank by multi-table collision count, truncate to budget.
 
     When the union across tables exceeds the budget, keep the rows that
@@ -436,7 +437,10 @@ def _dedup_rank_fixed(
         jnp.inf,
     )
     order = jnp.argsort(key)[:budget]
-    return jnp.where(jnp.isfinite(key[order]), s[order], -1)
+    out = jnp.where(jnp.isfinite(key[order]), s[order], -1)
+    if with_count:
+        return out, jnp.sum(valid_first.astype(jnp.int32))
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("budget", "filtered", "per_table"))
@@ -476,15 +480,27 @@ def gather_candidate_ids(
     q_detailed: Optional[jax.Array],  # [q, L] fingerprints or None
     budget: int,
     per_table: int = 0,
-) -> jax.Array:
+    with_stats: bool = False,
+):
     """Raw-array core of candidate_ids — shared by the local and the
     mp-sharded index (parallel/sharded_index.py runs it per shard inside a
-    shard_map with shard-local arrays)."""
+    shard_map with shard-local arrays).
+
+    with_stats=True additionally returns a truncation-accounting dict of
+    per-query int32 vectors (the "no silent truncation" contract of
+    models/ivf.py applied here):
+      unique_candidates  — distinct rows gathered before the budget cut;
+      budget_dropped     — distinct rows the budget discarded;
+      window_dropped     — bucket members beyond the per-table window
+                           (an upper bound for the filtered/euclidean path,
+                           whose windows start at the exact-tuple run).
+    """
     L = sorted_rows.shape[0]
     per_table = per_table or budget
     sentinel = n_rows
 
     def per_query(qb, qd):
+        win_drop = jnp.int32(0)
         def per_table_gather(l, b):
             start = bucket_starts[l, b]
             end = bucket_starts[l, b + 1]
@@ -516,16 +532,32 @@ def gather_candidate_ids(
             if detailed is not None:
                 tuple_ok = detailed[l, rows] == qd[l]
                 valid = valid & tuple_ok
-            return jnp.where(valid, rows, sentinel)
+            return jnp.where(valid, rows, sentinel), jnp.maximum(
+                size - per_table, 0
+            )
 
-        gathered = jnp.stack(
-            [per_table_gather(l, qb[l]) for l in range(L)]
-        ).reshape(-1)
-        return _dedup_rank_fixed(gathered, sentinel, budget, L)
+        per_l = [per_table_gather(l, qb[l]) for l in range(L)]
+        gathered = jnp.stack([g for g, _ in per_l]).reshape(-1)
+        if not with_stats:
+            return _dedup_rank_fixed(gathered, sentinel, budget, L)
+        win_drop = sum(d for _, d in per_l) + win_drop
+        out, n_unique = _dedup_rank_fixed(
+            gathered, sentinel, budget, L, with_count=True
+        )
+        return out, n_unique, win_drop
 
     if q_detailed is None:
         q_detailed = jnp.zeros((q_buckets.shape[0], L), jnp.int32)
-    return jax.vmap(per_query)(q_buckets, q_detailed)
+    res = jax.vmap(per_query)(q_buckets, q_detailed)
+    if not with_stats:
+        return res
+    ids, n_unique, win_drop = res
+    stats = {
+        "unique_candidates": n_unique,
+        "budget_dropped": jnp.maximum(n_unique - budget, 0),
+        "window_dropped": win_drop,
+    }
+    return ids, stats
 
 
 @functools.partial(

@@ -75,7 +75,16 @@ def lsh_phase(
     top_n: int,
     top_p: int,
 ):
-    """One cosine-LSH recommendation phase (build + batched query)."""
+    """One cosine-LSH recommendation phase (build + batched query).
+
+    cfg.engine picks the candidate engine: "mask" materializes the dense
+    [q, n] candidate mask (exact get_LSH_combined_buckets semantics,
+    /root/reference/lib/lsh_cube.hpp:77-106); "csr" routes through the
+    fixed-budget CSR retrieval + gathered scoring — O(q*budget) instead of
+    O(q*n) memory, which is what lets the faithful main.cpp pipeline run at
+    user counts the dense mask cannot hold.  "auto" switches to csr when
+    the mask would exceed ~256 MB.
+    """
     from crypto_rec_tpu.models.lsh.index import resolve_use_pallas
 
     index = build_index(
@@ -88,6 +97,22 @@ def lsh_phase(
         cfg.euclidean_h_w,
         use_pallas=resolve_use_pallas(cfg.use_pallas),
     )
+    engine = cfg.engine
+    if engine == "auto":
+        q_n = queries.ratings.shape[0] * index_set.ratings.shape[0]
+        engine = "csr" if q_n > 256e6 else "mask"
+    if engine == "csr":
+        from crypto_rec_tpu.models.lsh.index import candidate_ids
+        from crypto_rec_tpu.models.rec.engine import recommend_from_ids
+
+        ids = candidate_ids(
+            index, queries.ratings, budget=cfg.candidate_budget, filtered=True
+        )
+        return recommend_from_ids(
+            queries, index_set, ids, top_p=top_p, top_n=top_n
+        )
+    if engine != "mask":
+        raise ValueError(f"unknown engine {engine!r} (mask | csr | auto)")
     mask = candidate_mask(index, queries.ratings, filtered=True)
     return recommend(queries, index_set, mask, top_p=top_p, top_n=top_n)
 

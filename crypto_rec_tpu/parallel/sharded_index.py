@@ -464,7 +464,14 @@ def sharded_recommend_csr(
     carry O(top_p * (c + 2)) floats per query.
 
     Returns (predicted [q, c], top_n [q, top_n], has_neighbors [q],
-    sims [q, top_p], global neighbor ids [q, top_p]).
+    sims [q, top_p], global neighbor ids [q, top_p], stats).
+
+    `stats` is the truncation accounting the budget would otherwise hide
+    (the "no silent truncation" contract of models/ivf.py applied to the
+    pod-scale CF engine): int32 scalars summed over queries AND shards —
+    unique_candidates gathered, budget_dropped (distinct rows the
+    per-shard budget discarded), window_dropped (bucket members beyond
+    the per-table window).
     """
     metric = index.metric
     fam = index.family
@@ -480,9 +487,15 @@ def sharded_recommend_csr(
             qb = fam.bucket_ids_from_hashes(qh, index.n_buckets)
             qd = fam.fingerprints_from_hashes(qh)
         det_l = det[0] if (filtered and det is not None) else None
-        local_ids = gather_candidate_ids(
-            rows[0], starts[0], det_l, n_local, qb, qd, budget, per_table
+        local_ids, trunc = gather_candidate_ids(
+            rows[0], starts[0], det_l, n_local, qb, qd, budget, per_table,
+            with_stats=True,
         )
+        # truncation accounting: sum over this shard's queries, then over
+        # shards — O(1) extra collective payload
+        stats = {
+            k: jax.lax.psum(jnp.sum(v), "mp") for k, v in trunc.items()
+        }
         valid = local_ids >= 0
         safe = jnp.maximum(local_ids, 0)
         cand = nr_blk[safe]                                # [q, B, c]
@@ -528,7 +541,8 @@ def sharded_recommend_csr(
         from crypto_rec_tpu.ops.topk import topn_indices
 
         top = topn_indices(predicted, ~q_known, top_n)
-        return predicted, top, jnp.any(top_valid, axis=1), top_vals, top_gid
+        return (predicted, top, jnp.any(top_valid, axis=1), top_vals,
+                top_gid, stats)
 
     in_specs = [P("mp", None, None), P("mp", None, None)]
     args = [index.sorted_rows, index.bucket_starts]
@@ -541,8 +555,12 @@ def sharded_recommend_csr(
             return body(rows, starts, None, nr_blk, nm_blk)
     in_specs += [P("mp", None), P("mp")]
     args += [n_ratings, n_mean]
+    stats_spec = {
+        "unique_candidates": P(), "budget_dropped": P(), "window_dropped": P()
+    }
     return jax.shard_map(
         fn, mesh=mesh, in_specs=tuple(in_specs),
-        out_specs=(P(None, None),) * 2 + (P(None),) + (P(None, None),) * 2,
+        out_specs=(P(None, None),) * 2 + (P(None),) + (P(None, None),) * 2
+        + (stats_spec,),
         check_vma=False,
     )(*args)
