@@ -24,9 +24,20 @@ Environment knobs:
   BENCH_PACK_DTYPE  bfloat16 | int8 | both | none (default: both when the
                     bf16 slabs fit the chip, else int8) — "both" reports a
                     bf16 AND an int8 fused datapoint in the same JSON line.
-  BENCH_CUBE        1 => also benchmark hypercube probing
-                    (/root/reference/lib/lsh_cube.hpp:139-177).
+  BENCH_CUBE        hypercube probing stage
+                    (/root/reference/lib/lsh_cube.hpp:139-177); default ON
+                    (cosine runs, N <= 4M), nested as out["hypercube"].
   BENCH_CUBE_K / BENCH_CUBE_PROBES  cube vertex bits / probe count.
+  BENCH_EUCLIDEAN   p-stable LSH stage on the SAME corpus
+                    (/root/reference/lib/generators/euclidean_phi_gen.hpp);
+                    default ON (cosine runs, N <= 4M), nested as
+                    out["euclidean"].  BENCH_EUC_K/BENCH_EUC_L/BENCH_EUC_PT
+                    override its k/L/window.
+  BENCH_CF          end-to-end collaborative-filtering stage: fused
+                    retrieval (top-P cosine neighbors) + mean-centered
+                    prediction + top-N, the models/rec/engine.py math over
+                    the bench corpus as rating rows; default ON (cosine,
+                    N <= 4M), nested as out["cf"].
   BENCH_PALLAS_RETRIEVE  1 => fused slab-score Pallas kernel for the packed
                     retrieval (auto-falls back to the XLA path on failure).
 """
@@ -213,19 +224,26 @@ def main() -> None:
         log(f"packed slabs ({gb:.1f} GB {dtype_name}) in {pack_s:.2f}s")
 
         kernel = "xla"
+        # int8 runs the no-rerank mode: raw global-scale dots ranked and
+        # dequantized by the stored scalar — the exact-rerank gather cost
+        # ~31 ms/batch and the bench's planted-margin recall (measured
+        # right below) is unaffected (round-3 probes: 0.9997 either way)
+        RERANK = os.environ.get("BENCH_INT8_RERANK", "0") == "1"
         retrieve = lambda: retrieve_topk(
-            pidx, queries, corpus, top_k=TOPK, per_table=PT, use_pallas=False
+            pidx, queries, corpus, top_k=TOPK, per_table=PT, use_pallas=False,
+            int8_rerank=RERANK,
         )
-        # the slab kernel covers bf16 (+13% q/s on v5e, 2026-08-20) and
-        # global-scale int8 slabs (scale-free order-preserving dots, half
-        # the DMA bytes); per-row-scale int8 keeps XLA (the scale-gather
-        # epilogue erases the kernel's win)
+        # the slab kernel covers bf16 and global-scale int8 slabs
+        # (scale-free order-preserving dots, half the DMA bytes);
+        # per-row-scale int8 keeps XLA (the scale-gather epilogue erases
+        # the kernel's win)
         if PALLAS_RETRIEVE and pidx.packed_scale is None:
             from crypto_rec_tpu.models.lsh.index import retrieve_topk_pallas
 
             try:
                 pal = lambda: retrieve_topk_pallas(
-                    pidx, queries, corpus, top_k=TOPK, per_table=PT
+                    pidx, queries, corpus, top_k=TOPK, per_table=PT,
+                    int8_rerank=RERANK,
                 )
                 hard_sync(pal())
                 retrieve = pal
@@ -246,6 +264,7 @@ def main() -> None:
             "recall": round(rec, 4),
             "pack_s": round(pack_s, 3),
             "kernel": kernel,
+            "int8_rerank": bool(RERANK) if dtype_name == "int8" else None,
         }
 
     # headline = the fastest packed datapoint (or the unpacked fused path
@@ -275,9 +294,104 @@ def main() -> None:
         ids = candidate_ids(index, queries, budget=BUDGET, per_table=PT)
         recall = float(recall_at_k(ids, true_idx))
 
-    # ---- optional hypercube stage (lsh_cube.hpp:139-177) ----
+    # ---- end-to-end CF stage: fused retrieval -> top-P neighbors ->
+    # mean-centered prediction -> top-N (the reference's actual product,
+    # /root/reference/lib/crypto_rec.hpp:213-345, at retrieval speed
+    # instead of the candidate-set path's per-query dedup-rank sort) ----
+    cf_stats = None
+    secondary_ok = METRIC == "cosine" and N <= 4_000_000
+    if os.environ.get("BENCH_CF", "1" if secondary_ok else "0") == "1" \
+            and pidx is not None:
+        from crypto_rec_tpu.models.rec.engine import (
+            RatingSet, recommend_topk_retrieved,
+        )
+        TOP_P, TOP_N = 20, 5
+        kq = jax.random.PRNGKey(11)
+        n_known = jax.random.bernoulli(kq, 0.6, (N, D))
+        n_mean = jnp.sum(corpus * n_known, axis=1) / jnp.maximum(
+            jnp.sum(n_known, axis=1), 1
+        )
+        nset = RatingSet(ratings=corpus, known=n_known, mean=n_mean)
+        q_known = jax.random.bernoulli(jax.random.PRNGKey(12), 0.6, (Q, D))
+        q_mean = jnp.sum(queries * q_known, axis=1) / jnp.maximum(
+            jnp.sum(q_known, axis=1), 1
+        )
+        qset = RatingSet(ratings=queries, known=q_known, mean=q_mean)
+
+        def run_cf():
+            # approx-sim int8 mode: CF weights tolerate ~1% quant noise
+            sims, nidx = retrieve_topk(
+                pidx, queries, corpus, top_k=TOP_P, per_table=PT,
+                int8_rerank=False,
+            )
+            return recommend_topk_retrieved(qset, nset, sims, nidx, TOP_N)
+
+        hard_sync(run_cf())
+        cf_s = timed(run_cf, reps=5)
+        cf_rec = run_cf()
+        # neighbor quality: the 10 planted twins are the true top
+        # neighbors of each query (they tie near sim 1.0, so top-1
+        # identity is arbitrary — measure set recall, not first-hit)
+        cf_recall = float(recall_at_k(
+            jnp.asarray(cf_rec.neighbor_idx)[:, :TOPK], true_idx
+        ))
+        log(f"CF end-to-end (top-{TOP_P} neighbors -> predict -> top-{TOP_N}): "
+            f"{cf_s*1e3:.1f} ms -> {Q/cf_s:,.0f} users/s/chip "
+            f"(neighbor recall@{TOPK} {cf_recall:.4f})")
+        cf_stats = {
+            "qps": round(Q / cf_s, 1),
+            "top_p": TOP_P,
+            "top_n": TOP_N,
+            "neighbor_recall": round(cf_recall, 4),
+            "via": "fused_retrieve+recommend_topk_retrieved",
+        }
+        del nset, qset, n_known, q_known
+
+    # ---- euclidean (p-stable) stage on the same corpus ----
+    euc_stats = None
+    if os.environ.get("BENCH_EUCLIDEAN", "1" if secondary_ok else "0") == "1":
+        del pidx  # free the cosine slabs before packing euclidean tables
+        pidx = None
+        E_K = int(os.environ.get("BENCH_EUC_K", 5))
+        E_L = int(os.environ.get("BENCH_EUC_L", 16))
+        E_PT = int(os.environ.get("BENCH_EUC_PT", 512))
+        E_W = float(os.environ.get("BENCH_EUC_W", 8.0))
+        e_dtype = (
+            jnp.bfloat16 if E_L * (N + 4096) * D * 2 <= 6e9 else jnp.int8
+        )
+        t0 = time.perf_counter()
+        eidx = build_index(
+            jax.random.PRNGKey(21), corpus, "euclidean", E_K, E_L,
+            lsh_bucket_div=4, euclidean_h_w=E_W, use_pallas=False,
+        )
+        hard_sync(eidx.bucket_starts)
+        e_build = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        eidx = pack_index(eidx, corpus, dtype=e_dtype)
+        hard_sync(jax.tree_util.tree_leaves(eidx))
+        e_pack = time.perf_counter() - t0
+        e_run = lambda: retrieve_topk(
+            eidx, queries, corpus, top_k=TOPK, per_table=E_PT
+        )
+        hard_sync(e_run())
+        e_s = timed(e_run, reps=5)
+        _es, e_ids = e_run()
+        e_recall = float(recall_at_k(e_ids, true_idx))
+        log(f"euclidean k={E_K} L={E_L} w={E_W} window={E_PT} "
+            f"[{jnp.dtype(e_dtype).name}]: {e_s*1e3:.1f} ms -> "
+            f"{Q/e_s:,.0f} q/s/chip (recall {e_recall:.4f}, "
+            f"build {e_build:.2f}s, pack {e_pack:.2f}s)")
+        euc_stats = {
+            "k": E_K, "tables": E_L, "w": E_W, "per_table": E_PT,
+            "qps": round(Q / e_s, 1), "recall": round(e_recall, 4),
+            "build_s": round(e_build, 3), "pack_s": round(e_pack, 3),
+            "dtype": jnp.dtype(e_dtype).name,
+        }
+        del eidx
+
+    # ---- hypercube stage (lsh_cube.hpp:139-177) ----
     cube_stats = None
-    if os.environ.get("BENCH_CUBE", "0") == "1":
+    if os.environ.get("BENCH_CUBE", "1" if secondary_ok else "0") == "1":
         from crypto_rec_tpu.models.lsh.hypercube import (
             build_hypercube, pack_cube, cube_retrieve_topk,
         )
@@ -347,6 +461,10 @@ def main() -> None:
         "per_dtype": per_dtype,
         "platform": dev.platform,
     }
+    if cf_stats:
+        out["cf"] = cf_stats
+    if euc_stats:
+        out["euclidean"] = euc_stats
     if cube_stats:
         out["hypercube"] = cube_stats
     print(json.dumps(out))

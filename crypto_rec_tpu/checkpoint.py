@@ -34,7 +34,7 @@ _FORMAT_VERSION = 3
 # the meta blob.
 _PACKED_FIELDS = (
     "packed", "packed_rows", "packed_sqnorm", "packed_detailed",
-    "packed_scale",
+    "packed_scale", "packed_gscale",
 )
 
 
@@ -239,6 +239,7 @@ def load_sharded_index(prefix: str, mesh):
         packed_sqnorm=fields.get("packed_sqnorm"),
         packed_detailed=fields.get("packed_detailed"),
         packed_scale=fields.get("packed_scale"),
+        packed_gscale=fields.get("packed_gscale"),
     )
 
 

@@ -55,6 +55,10 @@ class RecConfig:
     #            scoring (recommend_from_ids), O(q*budget) memory — the
     #            scalable engine, identical output whenever candidate_budget
     #            covers each query's bucket union;
+    #   "fused" — packed fused retrieval straight to the top-P neighbors
+    #            (retrieve_topk + recommend_topk_retrieved): the fastest
+    #            engine; window truncation (candidate_budget rows per
+    #            table) is the recall tradeoff;
     #   "auto" — csr when the mask would exceed ~256 MB, else mask.
     engine: str = "auto"
 

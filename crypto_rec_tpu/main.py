@@ -31,7 +31,7 @@ def build_argparser() -> argparse.ArgumentParser:
         help="evaluate cluster silhouettes in the clustering phases",
     )
     p.add_argument(
-        "--engine", choices=("auto", "mask", "csr"), default=None,
+        "--engine", choices=("auto", "mask", "csr", "fused"), default=None,
         help="LSH candidate engine: dense mask (reference-exact, O(q*n)) "
              "or CSR fixed-budget retrieval (scalable); default auto",
     )

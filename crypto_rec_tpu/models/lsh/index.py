@@ -38,7 +38,7 @@ from crypto_rec_tpu.models.lsh.pstable import PStableLsh
     data_fields=(
         "family", "bucket_ids", "detailed", "sorted_rows", "bucket_starts",
         "packed", "packed_rows", "packed_sqnorm", "packed_detailed",
-        "packed_scale",
+        "packed_scale", "packed_gscale",
     ),
     meta_fields=("metric", "n_buckets", "n_rows"),
 )
@@ -85,6 +85,14 @@ class LshIndex:
     # int8-quantized slabs only: per-row dequant scale [L, n + pad] f32
     # (row ≈ packed * scale; halves the query-time gather bytes vs bf16)
     packed_scale: Optional[jax.Array] = None
+    # GLOBAL-scale int8 slabs only (scale_mode="global"): the one scalar
+    # dequant scale.  Raw kernel dots × this scale ≈ true cosine sims,
+    # which lets retrieval paths skip the exact rerank when the caller
+    # opts out (retrieve_topk(int8_rerank=False) — the rerank's random-row
+    # gather alone cost ~31 ms at the 2M bench point and was why int8
+    # trailed bf16 in round 2; quantization noise can permute near-ties,
+    # so reranking stays the default).
+    packed_gscale: Optional[jax.Array] = None
 
 
 def resolve_use_pallas(flag: Optional[bool]) -> bool:
@@ -342,6 +350,8 @@ def pack_index(
         index.sorted_rows, ((0, 0), (0, pad)), constant_values=n
     )
     kw: dict = {"packed": packed, "packed_rows": packed_rows}
+    if quantized and scale_mode == "global":
+        kw["packed_gscale"] = jnp.asarray(g_scale, jnp.float32)
     if quantized and scale_mode == "row":
         kw["packed_scale"] = jnp.pad(
             scale, ((0, 0), (0, pad)), constant_values=1.0
@@ -564,7 +574,7 @@ def gather_candidate_ids(
     jax.jit,
     static_argnames=(
         "top_k", "per_table", "filtered", "q_block", "block_rows",
-        "use_pallas",
+        "use_pallas", "int8_rerank",
     ),
 )
 def retrieve_topk(
@@ -577,6 +587,7 @@ def retrieve_topk(
     q_block: int = 256,
     block_rows: int = 128,
     use_pallas: Optional[bool] = None,
+    int8_rerank: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused end-to-end retrieval: bucket gather -> score -> top-k.
 
@@ -601,7 +612,7 @@ def retrieve_topk(
     vals, ids = jax.lax.map(
         lambda blk: _retrieve_topk_block(
             index, blk, corpus, top_k, per_table, filtered, block_rows,
-            use_pallas,
+            use_pallas, int8_rerank,
         ),
         queries_p.reshape(-1, q_block, queries.shape[1]),
     )
@@ -620,11 +631,12 @@ def _retrieve_topk_block(
     filtered: bool,
     block_rows: int = 128,
     use_pallas: Optional[bool] = None,
+    int8_rerank: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     if index.packed is not None:
         return _retrieve_topk_block_packed(
             index, queries, corpus, top_k, per_table, filtered, block_rows,
-            use_pallas,
+            use_pallas, int8_rerank,
         )
     L = index.bucket_ids.shape[1]
     q_buckets, q_detailed = query_hashes(index, queries)
@@ -700,14 +712,24 @@ def _retrieve_topk_block_packed(
     filtered: bool,
     block_rows: int = 128,
     use_pallas: Optional[bool] = None,
+    int8_rerank: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     quantized = jnp.issubdtype(index.packed.dtype, jnp.integer)
+    # int8_rerank=False + global-scale slabs: rank the raw int8 dots and
+    # dequant the SCORES with the stored scalar — no exact rerank (its
+    # random-row gather alone cost ~31 ms at the 2M bench point and was
+    # why int8 trailed bf16 in round 2).  Quantization noise (~1% of a
+    # unit dot) can permute near-ties, so the default keeps the rerank;
+    # disable it when the workload's margins dominate the noise (the
+    # bench's planted corpus measures recall 0.9997 without it).
+    scale_free = (
+        quantized and not int8_rerank and index.packed_gscale is not None
+    )
     # Auto-engage the fused slab-score Pallas kernel where it is measured
-    # faster (v5e 2026-08-20: +13% q/s for bf16 slabs).  Scope: cosine,
-    # scale-free slabs (bf16, or global-scale int8 whose raw dots are
-    # order-preserving — pack_index scale_mode); per-row-scale int8 keeps
-    # the XLA path (the scale-gather epilogue erases the kernel's win),
-    # euclidean/filtered are out of kernel scope.
+    # faster.  Scope: cosine, scale-free slabs (bf16, or global-scale int8
+    # whose raw dots are order-preserving — pack_index scale_mode);
+    # per-row-scale int8 keeps the XLA path (the scale-gather epilogue
+    # erases the kernel's win), euclidean/filtered are out of kernel scope.
     if (
         index.metric == "cosine"
         and index.packed_scale is None
@@ -720,19 +742,25 @@ def _retrieve_topk_block_packed(
         q_buckets, _ = query_hashes(index, queries)
         core_k = (
             min(4 * top_k, index.sorted_rows.shape[0] * top_k)
-            if quantized else top_k
+            if quantized and not scale_free else top_k
         )
         s, ids = packed_retrieve_pallas(
             index.packed, index.packed_rows, None, index.bucket_starts,
             index.n_rows, queries, q_buckets, core_k, per_table,
         )
+        if scale_free:
+            return s * index.packed_gscale, ids
         if not quantized:
             return s, ids
         return rerank_exact(corpus, index.metric, queries, ids, top_k)
     q_buckets, q_detailed = query_hashes(index, queries)
-    # int8 slabs: over-fetch 4x, then rescore the survivors exactly so
-    # quantization cannot permute the final top-k (see rerank_exact)
-    core_k = min(4 * top_k, index.sorted_rows.shape[0] * top_k) if quantized else top_k
+    # per-row-scale int8 (and pre-round-3 global archives): over-fetch 4x,
+    # then rescore the survivors exactly so quantization cannot permute
+    # the final top-k (see rerank_exact)
+    core_k = (
+        min(4 * top_k, index.sorted_rows.shape[0] * top_k)
+        if quantized and not scale_free else top_k
+    )
     s, ids = packed_retrieve_core(
         index.packed, index.packed_rows, index.packed_sqnorm,
         index.packed_detailed if filtered else None,
@@ -740,6 +768,8 @@ def _retrieve_topk_block_packed(
         queries, q_buckets, q_detailed, core_k, per_table, block_rows,
         packed_scale=index.packed_scale,
     )
+    if scale_free:
+        return s * index.packed_gscale, ids
     if not quantized:
         return s, ids
     return rerank_exact(corpus, index.metric, queries, ids, top_k)
@@ -915,7 +945,9 @@ def packed_retrieve_core(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("top_k", "per_table", "q_tile", "interpret")
+    jax.jit,
+    static_argnames=("top_k", "per_table", "q_tile", "interpret", "strict",
+                     "int8_rerank"),
 )
 def retrieve_topk_pallas(
     index: LshIndex,
@@ -925,12 +957,18 @@ def retrieve_topk_pallas(
     per_table: int = 256,
     q_tile: int = 16,
     interpret: bool = False,
+    strict: bool = False,
+    int8_rerank: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """retrieve_topk over the packed layout via the fused slab-score Pallas
     kernel (ops/pallas/slabscore.py): each (query, table) bucket window is
     DMA'd HBM->VMEM and dotted in place — no [q, L*B, W, d] gather
     temporary, no HBM round trip.  Cosine + unfiltered only (the kernel's
     scope); the XLA packed path remains the general fallback.
+
+    strict: see packed_retrieve_pallas — False (default) is the measured
+    production form (maskless multiprobe windows + approx stage-1), True
+    pins exact reference window semantics for parity tests.
 
     Needs no q_block streaming: the kernel's live set is its VMEM pipeline
     plus the [q, L, win] dot outputs (~4 bytes per window lane).
@@ -943,12 +981,21 @@ def retrieve_topk_pallas(
 
     q_buckets, _ = query_hashes(index, queries)
     quantized = jnp.issubdtype(index.packed.dtype, jnp.integer)
-    core_k = min(4 * top_k, index.sorted_rows.shape[0] * top_k) if quantized else top_k
+    scale_free = (
+        quantized and not int8_rerank and index.packed_gscale is not None
+    )
+    core_k = (
+        min(4 * top_k, index.sorted_rows.shape[0] * top_k)
+        if quantized and not scale_free else top_k
+    )
     s, ids = packed_retrieve_pallas(
         index.packed, index.packed_rows, index.packed_scale,
         index.bucket_starts, index.n_rows, queries, q_buckets,
         core_k, per_table, q_tile=q_tile, interpret=interpret,
+        strict=strict,
     )
+    if scale_free:
+        return s * index.packed_gscale, ids
     if quantized:
         return rerank_exact(corpus, index.metric, queries, ids, top_k)
     return s, ids

@@ -8,13 +8,34 @@ written to HBM by the gather and read back by the einsum, tripling the
 traffic of the slab bytes themselves, and the per-query matvec einsum
 cannot amortize it.
 
-This kernel removes the round trip: for each (query, table) the bucket
-window is DMA'd HBM -> VMEM and dotted against the query vector while the
-next window's DMA is already in flight (NBUF-deep pipeline).  Only the
-[q, L, win] dot products ever touch HBM; candidate row ids are recovered
-OUTSIDE the kernel by gathering packed_rows at just the top-k survivors'
-positions (slab_topk) — 4 bytes x L*top_k per query instead of a third DMA
-stream per window.
+This kernel removes the round trip: one loop step per QUERY — the query's
+L table windows are DMA'd together (HBM -> VMEM, NBUF queries deep) and
+scored with a VPU f32 multiply + lane reduce.  Only the [q, L, win] dot
+products ever touch HBM; candidate row ids are recovered OUTSIDE the
+kernel by gathering packed_rows at just the top-k survivors' positions
+(slab_topk).
+
+Cost model (v5e probes, benchmarks/experiments/probe_r3_*.py, round 3 —
+all wall numbers include the testbed's ~24 ms fixed dispatch+sync
+overhead per call):
+  * the kernel streams at ~615 GB/s (75% of the v5e HBM roof) with
+    nbuf=4 — DMA issue/wait bookkeeping, not bytes or flops, sets its
+    rate; an MXU [L*win, d] x [d, 128] replicated-query matmul scores no
+    faster than the exact-f32 VPU form (which therefore stays);
+  * the epilogue's stage-1 selection is the real wall: jax.lax.top_k
+    lowers to a full sort (~43 ms real at [8192, 5120]); approx_max_k
+    (recall_target 0.95) is the cheapest correct selector.  Two fused
+    in-kernel selector designs measured WORSE: k sequential max/mask
+    passes (434 ms, round 2) and a strided binned top-1 reduce
+    (probe_r3_binned.py: 137 ms end-to-end AND recall 0.9997 -> 0.974 —
+    the per-step VPU reduction stalls the DMA pipeline);
+  * window masking is OFF on the production path ("maskless"): the
+    out-of-window lanes of the aligned overfetch are real neighboring
+    CSR rows — scoring them is free multiprobe (recall 0.9993 -> 0.9997
+    at the 2M bench point) and skipping the mask removes an in-register
+    pass whose concat form cost ~45 ms.  Pad-sentinel rows are killed by
+    id in the dedup stage.  strict=True restores exact reference window
+    semantics for parity tests.
 
 Mosaic constraint that shaped the design: a dynamic-start HBM->VMEM DMA
 must start at a sublane-tile boundary (8 rows f32 / 16 bf16 / 32 int8).
@@ -23,14 +44,14 @@ Window starts are therefore aligned DOWN to _ALIGN=32 rows host-side (the
 widened by one extra 128 block; a per-window `head` offset masks the
 [0, head) prefix.
 
-Supports three slab layouts: bf16, GLOBAL-scale int8 (pack_index
+Supports bf16 slabs and GLOBAL-scale int8 slabs (pack_index
 scale_mode="global" — one scalar scale, raw dots order-preserving, no
-dequant anywhere; half the DMA bytes of bf16), and per-row-scale int8
-(dots dequantized post-kernel by an XLA aligned-block gather of the
-per-row scales — a [win, 1] f32 DMA is not lane-tileable).  Cosine only:
-rows are pre-normalized by pack_index, so the dot IS the similarity.
-Reference semantics mirrored: one window per hash table per query,
-L-table union downstream (/root/reference/lib/lsh_cube.hpp:77-106).
+dequant anywhere; half the DMA bytes of bf16).  Per-row-scale int8 keeps
+the XLA path (a [win, 1] f32 scale DMA is not lane-tileable).  Cosine
+only: rows are pre-normalized by pack_index, so the dot IS the
+similarity.  Reference semantics mirrored: one window per hash table per
+query, L-table union downstream
+(/root/reference/lib/lsh_cube.hpp:77-106).
 """
 
 from __future__ import annotations
@@ -45,9 +66,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 _ALIGN = 32  # covers the sublane tile of f32 (8), bf16 (16), and int8 (32)
 
+# VMEM budget for the slab pipeline scratch (the chip has ~16 MB more or
+# less shared with the compiler's own buffers; leave room for the query
+# tile, dots tile, and double-buffered output)
+_VMEM_SCRATCH_BUDGET = 10 * 1024 * 1024
+
 
 def _make_kernel(L: int, win: int, d: int, qt: int, nbuf: int = 4,
-                 unroll: int = 1):
+                 unroll: int = 1, mask: bool = True):
+    """Fallback form: one loop step per (query, table) WINDOW — L-times
+    less VMEM scratch than the fused form (one [win, d] slot per buffer),
+    used when the fused pipeline would overflow the VMEM budget.  VPU f32
+    scoring, in-register window masking."""
     def kernel(meta_ref, packed_hbm, q_ref, dots_ref, slab, sem_s):
         total = qt * L
 
@@ -86,11 +116,13 @@ def _make_kernel(L: int, win: int, d: int, qt: int, nbuf: int = 4,
             dots = jnp.sum(
                 x.astype(jnp.float32) * vec[None, :], axis=1
             )                                                # [win]
-            head = meta_ref[qi, L + l]
-            size = meta_ref[qi, 2 * L + l]
-            lane = jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)[:, 0]
-            valid = (lane >= head) & (lane < head + size)
-            dots_ref[qi, l, :] = jnp.where(valid, dots, -jnp.inf)
+            if mask:
+                head = meta_ref[qi, L + l]
+                size = meta_ref[qi, 2 * L + l]
+                lane = jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)[:, 0]
+                valid = (lane >= head) & (lane < head + size)
+                dots = jnp.where(valid, dots, -jnp.inf)
+            dots_ref[qi, l, :] = dots
             return 0
 
         # Mosaic supports only unroll=1 or a FULL unroll of the loop
@@ -101,19 +133,22 @@ def _make_kernel(L: int, win: int, d: int, qt: int, nbuf: int = 4,
     return kernel
 
 
-def _make_kernel_fused(L: int, win: int, d: int, qt: int, nbuf: int = 2):
+def _make_kernel_fused(L: int, win: int, d: int, qt: int, nbuf: int = 4,
+                       mask: bool = False):
     """One loop step per QUERY: the L table windows are DMA'd together into
-    one [L, win, d] slot and dotted as a single [L*win, d] x [d, 1] matvec.
+    one [L, win, d] slot and scored with a VPU f32 multiply + lane reduce.
 
-    Rationale (v5e probe, benchmarks/experiments/probe_slab.py): at constant
-    scored bytes, halving the window count raised q/s 1.4x — the per-window
-    kernel is bound by per-iteration overhead (scalar-core address math, DMA
-    wait bookkeeping, matvec launch), not by DMA bytes.  Fusing the L
-    windows of a query cuts loop iterations and matvec launches by L while
-    keeping the DMA pipeline depth (all L copies are in flight at once,
-    nbuf queries deep).  Validity masking moves OUTSIDE the kernel (an XLA
-    `where` that fuses into the top-k consumer) so the step body is pure
-    DMA + MXU.
+    Rationale (v5e probes): at constant scored bytes, halving the window
+    count raised q/s 1.4x — the per-window kernel is bound by
+    per-iteration overhead (scalar-core address math, DMA wait
+    bookkeeping), not by DMA bytes.  Fusing the L windows of a query cuts
+    loop iterations by L while keeping the DMA pipeline depth (all L
+    copies are in flight at once, nbuf queries deep).
+
+    mask=False (production) emits raw dots for every lane of the aligned
+    window — out-of-window lanes are real neighboring CSR rows, i.e. free
+    multiprobe (see module docstring).  mask=True restores exact window
+    semantics in-register (strict/parity mode).
     """
     def kernel(meta_ref, packed_hbm, q_ref, dots_ref, slab, sem_s):
         def dma(slot, qi, l):
@@ -145,8 +180,23 @@ def _make_kernel_fused(L: int, win: int, d: int, qt: int, nbuf: int = 2):
             vec = q_ref[qi, :]                               # [d] f32
             dots = jnp.sum(
                 x.astype(jnp.float32) * vec[None, :], axis=1
-            )                                                # [L * win]
-            dots_ref[qi] = dots.reshape(L, win)
+            ).reshape(L, win)                                # [L, win]
+            if mask:
+                # in-register window mask: lane j of table l is valid iff
+                # head <= j < head + size (head/size are SMEM scalars;
+                # each table row is masked separately and the f32 rows
+                # concatenated — Mosaic rejects concatenating i1 masks)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, win), 1)
+                rows = []
+                for l in range(L):
+                    head_l = meta_ref[qi, L + l]
+                    size_l = meta_ref[qi, 2 * L + l]
+                    valid_l = (lane >= head_l) & (lane < head_l + size_l)
+                    rows.append(
+                        jnp.where(valid_l, dots[l:l + 1], -jnp.inf)
+                    )
+                dots = jnp.concatenate(rows, axis=0)         # [L, win]
+            dots_ref[qi] = dots
             return 0
 
         jax.lax.fori_loop(0, qt, step, 0)
@@ -156,7 +206,8 @@ def _make_kernel_fused(L: int, win: int, d: int, qt: int, nbuf: int = 2):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("per_table", "q_tile", "interpret", "unroll", "fuse_l"),
+    static_argnames=("per_table", "q_tile", "interpret", "unroll", "fuse_l",
+                     "nbuf", "mask"),
 )
 def slab_window_dots(
     packed: jax.Array,           # [L, n_pad, d] bf16/int8 CSR-ordered slabs
@@ -169,22 +220,49 @@ def slab_window_dots(
     interpret: bool = False,
     unroll: int = 1,
     fuse_l: bool = True,
+    nbuf: int = 4,
+    mask: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
-    """-> (dots [q, L, win] f32 with -inf outside the window,
-           aligned window starts [q, L] int32, LOCAL to each table).
+    """-> (dots [q, L, win] f32, aligned window starts [q, L] int32,
+           LOCAL to each table).
 
-    win = (per_table + _ALIGN) rounded up to a 128 lane multiple; the valid
-    rows of window (q, l) sit at lanes [head, head + size) where
-    head = starts - aligned_starts < _ALIGN, so callers see exactly the
-    per_table window semantics of packed_retrieve_core.  Lane j of table l
-    holds the dot against CSR position aligned_starts[q, l] + j — feed the
-    pair to slab_topk to recover row ids for the survivors.
+    win = (per_table + _ALIGN) rounded up to a 128 lane multiple.  With
+    mask=True the valid rows of window (q, l) sit at lanes
+    [head, head + size) where head = starts - aligned_starts < _ALIGN and
+    out-of-window lanes are -inf — exactly the per_table window semantics
+    of packed_retrieve_core.  With mask=False every lane carries its raw
+    dot (aligned-overfetch multiprobe; see module docstring) — only
+    pad-sentinel rows need downstream id masking.  Lane j of table l
+    holds the dot against CSR position aligned_starts[q, l] + j — feed
+    the pair to slab_topk to recover row ids for the survivors.
+
+    The fused form's VMEM scratch is nbuf*L*win*d slab bytes; when that
+    exceeds the budget the call automatically shrinks nbuf (floor 2) and
+    then falls back to the per-window kernel (L-times less scratch).
     """
     L, n_pad, d = packed.shape
     q = queries.shape[0]
     win = (per_table + _ALIGN + 127) // 128 * 128
     if n_pad < win:
         raise ValueError(f"window {win} exceeds packed length {n_pad}")
+    if unroll != 1 and fuse_l:
+        raise ValueError(
+            "unroll applies only to the per-window kernel; pass fuse_l=False"
+        )
+    itemsize = jnp.dtype(packed.dtype).itemsize
+    if fuse_l:
+        # VMEM guard (fused scratch = nbuf * L * win * d slab bytes):
+        # shrink the pipeline before giving up on the fused form
+        while nbuf > 2 and nbuf * L * win * d * itemsize > _VMEM_SCRATCH_BUDGET:
+            nbuf -= 1
+        if nbuf * L * win * d * itemsize > _VMEM_SCRATCH_BUDGET:
+            fuse_l = False
+            nbuf = 4
+    if not fuse_l and nbuf * win * d * itemsize > _VMEM_SCRATCH_BUDGET:
+        raise ValueError(
+            f"slab window {win}x{d} ({itemsize}B) exceeds the VMEM scratch "
+            f"budget even unfused; reduce per_table"
+        )
     # int8 with packed_scale=None is the GLOBAL-scale layout (pack_index
     # scale_mode="global"): one scalar scale for the whole index, so the
     # raw dots are order-preserving and need no dequant — callers rerank
@@ -212,15 +290,14 @@ def slab_window_dots(
     ).astype(jnp.int32)                                   # [qp, 3L]
 
     if fuse_l:
-        nbuf = 2
-        kernel = _make_kernel_fused(L, win, d, q_tile, nbuf)
+        kernel = _make_kernel_fused(L, win, d, q_tile, nbuf, mask)
         scratch = [
             pltpu.VMEM((nbuf, L, win, d), packed.dtype),
             pltpu.SemaphoreType.DMA((nbuf, L)),
         ]
     else:
-        nbuf = max(4, 2 * unroll)
-        kernel = _make_kernel(L, win, d, q_tile, nbuf, unroll)
+        nbuf = max(nbuf, 2 * unroll)
+        kernel = _make_kernel(L, win, d, q_tile, nbuf, unroll, mask)
         scratch = [
             pltpu.VMEM((nbuf, win, d), packed.dtype),
             pltpu.SemaphoreType.DMA((nbuf,)),
@@ -245,15 +322,6 @@ def slab_window_dots(
     )
     dots = dots[:q]
     aligned = aligned[:q]
-    if fuse_l:
-        # the fused kernel emits raw lane dots; the window-validity mask is
-        # an XLA `where` here, which fuses into the top-k consumer — no
-        # extra HBM traffic, and the kernel step stays pure DMA + MXU
-        lane = jnp.arange(win, dtype=jnp.int32)[None, None, :]
-        valid = (lane >= head[:q, :, None]) & (
-            lane < (head + size)[:q, :, None]
-        )
-        dots = jnp.where(valid, dots, -jnp.inf)
 
     if packed_scale is not None:
         # Per-row dequant applied OUTSIDE the kernel: a [win, 1] f32 DMA is
@@ -308,17 +376,31 @@ def slab_topk(
     packed_rows: jax.Array,   # [L, n_pad] int32 CSR-ordered row ids
     n_rows: int,
     top_k: int,
+    exact: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Two-stage dedup top-k over kernel dots, identical in semantics to
-    packed_retrieve_core's epilogue: stage 1 keeps the best L*top_k lanes
-    (duplicates included), their row ids are gathered from packed_rows at
-    just those positions, stage 2 sort-dedups by id and re-selects top_k.
+    """Two-stage dedup top-k over kernel dots: stage 1 keeps the best
+    L*top_k lanes of the flattened [L*win] window set (duplicates
+    included), their row ids are gathered from packed_rows at just those
+    positions, stage 2 sort-dedups by id and re-selects top_k.
+
+    exact=False (production) runs stage 1 through jax.lax.approx_max_k
+    (recall_target 0.95): on TPU lax.top_k lowers to a full variadic sort
+    (~43 ms real at the 2M bench shapes — the whole-pipeline bottleneck,
+    probe_r3_approx.py) while approx_max_k is a partial reduction.  The
+    approximation only affects which near-tie lanes reach stage 2;
+    measured recall at the bench point was unchanged (0.9997) with
+    m1 = L*top_k.  exact=True keeps the bit-stable sort form for parity
+    tests.
+
     -> (scores [q, top_k] descending, row ids [q, top_k], -1 pad)."""
     q, L, win = dots.shape
     n_pad = packed_rows.shape[1]
     flat = dots.reshape(q, L * win)
     m1 = min(L * top_k, L * win)
-    s1, pos1 = jax.lax.top_k(flat, m1)                 # [q, m1]
+    if exact:
+        s1, pos1 = jax.lax.top_k(flat, m1)             # [q, m1]
+    else:
+        s1, pos1 = jax.lax.approx_max_k(flat, m1, recall_target=0.95)
     l_of = pos1 // win
     lane = pos1 % win
     a0 = jnp.take_along_axis(aligned_starts, l_of, axis=1)     # [q, m1]
@@ -340,11 +422,17 @@ def packed_retrieve_pallas(
     per_table: int,
     q_tile: int = 16,
     interpret: bool = False,
+    strict: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Drop-in Pallas replacement for packed_retrieve_core (cosine,
-    unfiltered): same pseudo-random window offsets, same two-stage dedup
-    top-k — the only difference is that the slab windows never round-trip
-    through an HBM temporary."""
+    """Pallas counterpart of packed_retrieve_core (cosine, unfiltered):
+    same pseudo-random window offsets, same dedup top-k epilogue — the
+    slab windows never round-trip through an HBM temporary.
+
+    strict=False (production): maskless aligned-overfetch windows (a
+    recall-superset of the reference's bucket windows) + approx stage-1
+    selection — the measured-fastest correct form (module docstring).
+    strict=True: exact reference window semantics + exact top_k, for
+    parity against packed_retrieve_core."""
     L = packed.shape[0]
     l_idx = jnp.arange(L, dtype=jnp.int32)
     start = bucket_starts[l_idx[None, :], q_buckets]            # [q, L]
@@ -369,5 +457,6 @@ def packed_retrieve_pallas(
     dots, a0 = slab_window_dots(
         packed, packed_scale, s0, sizes, qv,
         per_table=per_table, q_tile=q_tile, interpret=interpret,
+        mask=strict,
     )
-    return slab_topk(dots, a0, packed_rows, n_rows, top_k)
+    return slab_topk(dots, a0, packed_rows, n_rows, top_k, exact=strict)

@@ -43,7 +43,7 @@ from crypto_rec_tpu.models.lsh.index import (
     data_fields=(
         "family", "sorted_rows", "bucket_starts", "detailed",
         "packed", "packed_rows", "packed_sqnorm", "packed_detailed",
-        "packed_scale",
+        "packed_scale", "packed_gscale",
     ),
     meta_fields=("metric", "n_buckets", "n_local", "n_shards"),
 )
@@ -70,6 +70,10 @@ class ShardedLshIndex:
     packed_sqnorm: Optional[jax.Array] = None   # [S, L, n_local + pad]
     packed_detailed: Optional[jax.Array] = None  # [S, L, n_local + pad]
     packed_scale: Optional[jax.Array] = None     # [S, L, n_local + pad] (int8)
+    # global-scale int8 only: per-shard dequant scalar [S] — dots × it are
+    # true-sim approximations, comparable ACROSS shards at the all_gather
+    # merge (each shard applies its own scalar before merging)
+    packed_gscale: Optional[jax.Array] = None
 
 
 def build_sharded_index(
@@ -149,9 +153,10 @@ def pack_sharded_index(
     collectives — packing is as embarrassingly parallel as the build.
 
     scale_mode as in pack_index; "global" (int8 cosine auto) uses a
-    SHARD-local scalar scale with no collective — consistency across shards
-    is unnecessary because each shard reranks its survivors exactly in f32
-    BEFORE the all_gather merge (sharded_retrieve_topk)."""
+    SHARD-local scalar scale with no collective — each shard multiplies its
+    raw dots by ITS scalar (stored in packed_gscale) before the all_gather
+    merge, so the merged scores compare like with like across shards
+    without any rerank gather (sharded_retrieve_topk)."""
     n_local = index.n_local
     L = index.sorted_rows.shape[1]
     d = corpus.shape[1]
@@ -201,6 +206,8 @@ def pack_sharded_index(
         packed = jnp.pad(packed, ((0, 0), (0, pad), (0, 0)))
         prows = jnp.pad(rows, ((0, 0), (0, pad)), constant_values=n_local)
         out = (packed[None], prows[None])
+        if quantized and scale_mode == "global":
+            out += (jnp.reshape(g_scale, (1,)).astype(jnp.float32),)
         if row_scaled:
             out += (jnp.pad(
                 scale, ((0, 0), (0, pad)), constant_values=1.0
@@ -215,9 +222,13 @@ def pack_sharded_index(
 
     in_specs = [P("mp", None, None), P("mp", None)]
     args = [index.sorted_rows, corpus]
-    # outputs, in body's emission order: packed, rows, [scale], [sq, [det]]
+    # outputs, in body's emission order: packed, rows, [gscale], [scale],
+    # [sq, [det]]
     fields = ["packed", "packed_rows"]
     out_specs = (P("mp", *([None] * 3)), P("mp", None, None))
+    if quantized and scale_mode == "global":
+        fields.append("packed_gscale")
+        out_specs += (P("mp"),)
     if row_scaled:
         fields.append("packed_scale")
         out_specs += (P("mp", None, None),)
@@ -240,7 +251,7 @@ def pack_sharded_index(
     jax.jit,
     static_argnames=(
         "mesh", "budget", "per_table", "top_k", "filtered", "block_rows",
-        "use_pallas", "pallas_interpret",
+        "use_pallas", "pallas_interpret", "int8_rerank",
     ),
 )
 def sharded_retrieve_topk(
@@ -255,6 +266,7 @@ def sharded_retrieve_topk(
     block_rows: int = 128,
     use_pallas: Optional[bool] = None,
     pallas_interpret: bool = False,
+    int8_rerank: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """-> (scores [q, top_k] descending, global row ids [q, top_k], -1 pad).
 
@@ -286,9 +298,16 @@ def sharded_retrieve_topk(
             and (resolve_use_pallas(use_pallas) or pallas_interpret)
         )
 
+        scale_free = (
+            quantized and not int8_rerank and index.packed_gscale is not None
+        )
+
         def body_packed(packed, prows, starts, *rest):
-            psq = pdet = pscale = None
+            psq = pdet = pscale = gscale = None
             i = 0
+            if scale_free:
+                gscale = rest[i][0]
+                i += 1
             if has_scale:
                 pscale = rest[i][0]
                 i += 1
@@ -300,7 +319,7 @@ def sharded_retrieve_topk(
                     i += 1
             # corpus is [n, d] sharded over rows -> the block is already
             # [n_local, d] (no leading shard axis to strip)
-            corpus_blk = rest[i] if quantized else None
+            corpus_blk = rest[i] if (quantized and not scale_free) else None
             if metric == "cosine":
                 qb = fam.bucket_ids(queries)
                 qd = None
@@ -308,7 +327,10 @@ def sharded_retrieve_topk(
                 qh = fam.hash_values(queries)
                 qb = fam.bucket_ids_from_hashes(qh, index.n_buckets)
                 qd = fam.fingerprints_from_hashes(qh)
-            core_k = min(4 * top_k, n_local) if quantized else top_k
+            core_k = (
+                min(4 * top_k, n_local)
+                if quantized and not scale_free else top_k
+            )
             if use_kernel:
                 from crypto_rec_tpu.ops.pallas.slabscore import (
                     packed_retrieve_pallas,
@@ -325,7 +347,12 @@ def sharded_retrieve_topk(
                     metric, queries, qb, qd, core_k, per_table or budget,
                     block_rows, packed_scale=pscale,
                 )
-            if quantized:
+            if scale_free:
+                # each shard applies ITS dequant scalar: the scaled dots
+                # approximate true sims, so the all_gather merge compares
+                # like with like across shards — no rerank gather needed
+                loc_vals = loc_vals * gscale
+            elif quantized:
                 # exact f32 rescoring of the shard-local survivors (see
                 # models/lsh/index.rerank_exact): quantization cannot
                 # permute the merged global top-k
@@ -348,6 +375,9 @@ def sharded_retrieve_topk(
             P("mp", *([None] * 3)), P("mp", None, None), P("mp", None, None),
         ]
         args = [index.packed, index.packed_rows, index.bucket_starts]
+        if scale_free:
+            in_specs.append(P("mp"))
+            args.append(index.packed_gscale)
         if has_scale:
             in_specs.append(P("mp", None, None))
             args.append(index.packed_scale)
@@ -357,7 +387,7 @@ def sharded_retrieve_topk(
             if filtered and index.packed_detailed is not None:
                 in_specs.append(P("mp", None, None))
                 args.append(index.packed_detailed)
-        if quantized:
+        if quantized and not scale_free:
             in_specs.append(P("mp", None))
             args.append(corpus)
         return jax.shard_map(

@@ -73,3 +73,27 @@ def test_auto_picks_csr_when_mask_large(monkeypatch):
                        cfg.replace(engine="csr"), top_n=3, top_p=8)
     assert calls.get("csr")
     assert np.asarray(rec.top_n).shape == (600, 3)
+
+
+def test_fused_engine_matches_mask():
+    """engine="fused" (packed retrieval -> top-P -> prediction) must agree
+    with the dense mask path when the per-table window covers every
+    bucket (f32 slabs => exact same similarities)."""
+    n, c = 300, 10
+    users = _rating_set(jax.random.PRNGKey(5), n, c)
+    base = RecConfig(k=4, L=4, candidate_budget=n, use_pallas=False)
+    key = jax.random.PRNGKey(8)
+    rec_mask = lsh_phase(key, users, users, base.replace(engine="mask"),
+                         top_n=4, top_p=8)
+    rec_fus = lsh_phase(key, users, users, base.replace(engine="fused"),
+                        top_n=4, top_p=8)
+    has = np.asarray(rec_mask.has_neighbors)
+    np.testing.assert_array_equal(has, np.asarray(rec_fus.has_neighbors))
+    np.testing.assert_allclose(
+        np.asarray(rec_mask.predicted)[has],
+        np.asarray(rec_fus.predicted)[has],
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rec_mask.top_n)[has], np.asarray(rec_fus.top_n)[has]
+    )

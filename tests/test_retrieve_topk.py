@@ -218,3 +218,28 @@ def test_packed_int8_recall():
     _d, true_idx = exact_nearest(x, x, "cosine", 10)
     r = float(recall_at_k(ids, true_idx))
     assert r > 0.95, r
+
+
+def test_packed_int8_no_rerank_mode():
+    """int8_rerank=False ranks raw global-scale dots (no exact rerank):
+    exact on planted twins whose margin dominates the ~1% quantization
+    noise, and scores come back dequantized to the cosine range."""
+    from crypto_rec_tpu.models.lsh.index import pack_index
+
+    rng = np.random.default_rng(3)
+    n, d, q = 4096, 64, 32
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    target = rng.choice(n, size=q, replace=False)
+    qs = x[target] + 1e-3 * rng.normal(size=(q, d)).astype(np.float32)
+    idx = build_index(KEY, jnp.asarray(x), "cosine", k=6, L=8,
+                      lsh_bucket_div=4, euclidean_h_w=1.0)
+    pidx = pack_index(idx, jnp.asarray(x), dtype=jnp.int8, pad=512)
+    s, ids = retrieve_topk(
+        pidx, jnp.asarray(qs), jnp.asarray(x), top_k=5, per_table=128,
+        int8_rerank=False,
+    )
+    ids = np.asarray(ids)
+    assert (ids[:, 0] == target).all()
+    s = np.asarray(s)
+    assert np.abs(s).max() < 1.05       # dequantized to cosine range
+    assert (s[:, 0] > 0.95).all()       # planted twin similarity
