@@ -319,7 +319,7 @@ def pack_index(
             amax = jnp.max(jnp.abs(corpus))
         g_scale = jnp.maximum(amax, 1e-30) / 127.0
 
-    def one_table(rows):
+    def one_chunk(rows):
         g = corpus[rows].astype(jnp.float32)
         if index.metric == "cosine":
             g = g / jnp.maximum(
@@ -338,7 +338,23 @@ def pack_index(
             return qg, sq, scale[:, 0]
         return g.astype(dtype), sq, jnp.ones((rows.shape[0],), jnp.float32)
 
-    # sequential over tables: bounds the f32 intermediate to one [n, d]
+    # sequential over tables AND row chunks: bounds the f32 gather
+    # intermediate to one [chunk, d] (a whole [n, d] f32 temp at 10M rows
+    # is 5.1 GB — three of those alongside the corpus + slabs would blow
+    # a 16 GB chip)
+    chunk = 1 << 20
+
+    def one_table(rows):
+        cpad = (-rows.shape[0]) % chunk
+        rp = jnp.pad(rows, (0, cpad))
+        qg, sq, sc = jax.lax.map(one_chunk, rp.reshape(-1, chunk))
+        m = rows.shape[0]
+        return (
+            qg.reshape(-1, d)[:m],
+            sq.reshape(-1)[:m],
+            sc.reshape(-1)[:m],
+        )
+
     packed, sq, scale = jax.lax.map(one_table, index.sorted_rows)
     # round the padded length to a 512 multiple: the packed retrieve path
     # gathers W-row ALIGNED blocks (W in {128, 256, 512} dividing n + pad),
