@@ -371,7 +371,8 @@ def main() -> None:
         hard_sync(jax.tree_util.tree_leaves(eidx))
         e_pack = time.perf_counter() - t0
         e_run = lambda: retrieve_topk(
-            eidx, queries, corpus, top_k=TOPK, per_table=E_PT
+            eidx, queries, corpus, top_k=TOPK, per_table=E_PT,
+            approx_stage1=True,
         )
         hard_sync(e_run())
         e_s = timed(e_run, reps=5)
@@ -408,7 +409,8 @@ def main() -> None:
         hard_sync(jax.tree_util.tree_leaves(cube))
         cube_build_s = time.perf_counter() - t0
         run = lambda: cube_retrieve_topk(
-            cube, queries, corpus, top_k=TOPK, probes=PROBES, per_probe=c_pt
+            cube, queries, corpus, top_k=TOPK, probes=PROBES, per_probe=c_pt,
+            approx_stage1=True,
         )
         hard_sync(run())
         cube_s = timed(run, reps=5)

@@ -188,7 +188,9 @@ def pack_cube(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("top_k", "probes", "per_probe", "q_block")
+    jax.jit,
+    static_argnames=("top_k", "probes", "per_probe", "q_block",
+                     "approx_stage1"),
 )
 def cube_retrieve_topk(
     cube: Hypercube,
@@ -198,6 +200,7 @@ def cube_retrieve_topk(
     probes: int,
     per_probe: int = 256,
     q_block: int = 256,
+    approx_stage1: bool = False,
 ):
     """Fused hypercube retrieval over the packed layout: probe schedule ->
     per-vertex slab windows -> score -> top-k.  Reuses the multi-table
@@ -230,7 +233,7 @@ def cube_retrieve_topk(
             cube.packed, cube.packed_rows, cube.packed_sqnorm, None,
             cube.bucket_starts, cube.n_rows, cube.metric,
             blk, probe_vertices, None, core_k, per_probe,
-            packed_scale=cube.packed_scale,
+            packed_scale=cube.packed_scale, approx_stage1=approx_stage1,
         )
         if quantized:
             s, ids = rerank_exact(corpus, cube.metric, blk, ids, top_k)

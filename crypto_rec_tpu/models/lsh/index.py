@@ -590,7 +590,7 @@ def gather_candidate_ids(
     jax.jit,
     static_argnames=(
         "top_k", "per_table", "filtered", "q_block", "block_rows",
-        "use_pallas", "int8_rerank",
+        "use_pallas", "int8_rerank", "approx_stage1",
     ),
 )
 def retrieve_topk(
@@ -604,6 +604,7 @@ def retrieve_topk(
     block_rows: int = 128,
     use_pallas: Optional[bool] = None,
     int8_rerank: bool = True,
+    approx_stage1: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused end-to-end retrieval: bucket gather -> score -> top-k.
 
@@ -628,7 +629,7 @@ def retrieve_topk(
     vals, ids = jax.lax.map(
         lambda blk: _retrieve_topk_block(
             index, blk, corpus, top_k, per_table, filtered, block_rows,
-            use_pallas, int8_rerank,
+            use_pallas, int8_rerank, approx_stage1,
         ),
         queries_p.reshape(-1, q_block, queries.shape[1]),
     )
@@ -648,11 +649,12 @@ def _retrieve_topk_block(
     block_rows: int = 128,
     use_pallas: Optional[bool] = None,
     int8_rerank: bool = True,
+    approx_stage1: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     if index.packed is not None:
         return _retrieve_topk_block_packed(
             index, queries, corpus, top_k, per_table, filtered, block_rows,
-            use_pallas, int8_rerank,
+            use_pallas, int8_rerank, approx_stage1,
         )
     L = index.bucket_ids.shape[1]
     q_buckets, q_detailed = query_hashes(index, queries)
@@ -729,6 +731,7 @@ def _retrieve_topk_block_packed(
     block_rows: int = 128,
     use_pallas: Optional[bool] = None,
     int8_rerank: bool = True,
+    approx_stage1: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     quantized = jnp.issubdtype(index.packed.dtype, jnp.integer)
     # int8_rerank=False + global-scale slabs: rank the raw int8 dots and
@@ -782,7 +785,7 @@ def _retrieve_topk_block_packed(
         index.packed_detailed if filtered else None,
         index.bucket_starts, index.n_rows, index.metric,
         queries, q_buckets, q_detailed, core_k, per_table, block_rows,
-        packed_scale=index.packed_scale,
+        packed_scale=index.packed_scale, approx_stage1=approx_stage1,
     )
     if scale_free:
         return s * index.packed_gscale, ids
@@ -834,6 +837,7 @@ def packed_retrieve_core(
     per_table: int,
     block_rows: int = 128,
     packed_scale: Optional[jax.Array] = None,  # [L, n_pad] f32 (int8 slabs)
+    approx_stage1: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """retrieve_topk over the packed-slab layout (pack_index) — raw-array
     core shared by the local index and the mp-sharded index (which runs it
@@ -941,9 +945,16 @@ def packed_retrieve_core(
     ids = jnp.where(valid.reshape(q, m), rows.reshape(q, m), n)
     safe = jnp.minimum(ids, n - 1)
 
-    # stage 1: top T*top_k with duplicates; stage 2: dedup + final top-k
+    # stage 1: top T*top_k with duplicates; stage 2: dedup + final top-k.
+    # approx_stage1 swaps the sort-lowered lax.top_k for approx_max_k
+    # (recall_target 0.95) — the same TPU selection-cost fix as the Pallas
+    # path's slab_topk(exact=False); near-tie lanes may swap, measured
+    # recall at the bench points was unchanged.
     m1 = min(T * top_k, m)
-    s1, pos1 = jax.lax.top_k(score, m1)                     # [q, m1]
+    if approx_stage1:
+        s1, pos1 = jax.lax.approx_max_k(score, m1, recall_target=0.95)
+    else:
+        s1, pos1 = jax.lax.top_k(score, m1)                 # [q, m1]
     ids1 = jnp.take_along_axis(safe, pos1, axis=1)
     order = jnp.argsort(ids1, axis=1)
     ids_sorted = jnp.take_along_axis(ids1, order, axis=1)
