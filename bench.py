@@ -400,8 +400,13 @@ def main() -> None:
         del pidx  # free the LSH slabs before packing the cube
         pidx = None
         CK = int(os.environ.get("BENCH_CUBE_K", max(8, K)))
-        PROBES = int(os.environ.get("BENCH_CUBE_PROBES", 64))
-        c_pt = min(BUDGET, max(128, 2 * N // (1 << CK)))
+        # Probe sweep (round 3, 2M clustered): recall comes from WIDE
+        # windows over the near vertices, not from many probes — 32 probes
+        # x 4x-avg-bucket windows measured recall 0.949 at 8.3k q/s vs
+        # 0.787 at 6.5k for the old 64 x 2x point; halving the window
+        # collapsed recall to 0.43 even with 128 probes.
+        PROBES = int(os.environ.get("BENCH_CUBE_PROBES", 32))
+        c_pt = min(BUDGET, max(128, 4 * N // (1 << CK)))
         c_dtype = jnp.int8 if (N + 4096) * D * 2 > 6e9 else jnp.bfloat16
         t0 = time.perf_counter()
         cube = build_hypercube(jax.random.PRNGKey(7), corpus, METRIC, CK, EUC_W)

@@ -34,7 +34,7 @@ def pallas_retrieve(pidx_packed, packed_rows, bucket_starts, n_rows, queries, q_
     sizes = jnp.minimum(end-s0, per_table)
     qv = queries.astype(jnp.float32)
     qv = qv/jnp.maximum(jnp.linalg.norm(qv,axis=1,keepdims=True),1e-30)
-    dots, a0 = slab_window_dots(pidx_packed, None, s0, sizes, qv, per_table=per_table, unroll=unroll)
+    dots, a0 = slab_window_dots(pidx_packed, None, s0, sizes, qv, per_table=per_table, unroll=unroll, fuse_l=False)
     return slab_topk(dots, a0, packed_rows, n_rows, top_k)
 
 def timed(fn, reps=4):

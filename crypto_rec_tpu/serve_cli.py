@@ -39,6 +39,12 @@ def build_argparser() -> argparse.ArgumentParser:
         help="attach the packed-slab layout after restore (L extra bf16 "
              "corpus copies for ~3.5x retrieval throughput)",
     )
+    r.add_argument(
+        "--fast-int8", action="store_true",
+        help="global-scale int8 indexes: rank raw dots and dequantize the "
+             "scores (skip the exact rerank) — fastest mode when score "
+             "margins dominate ~1%% quantization noise",
+    )
     r.add_argument("-o", dest="output", required=True)
 
     c = sub.add_parser("recommend")
@@ -83,6 +89,7 @@ def _retrieve(args) -> int:
     scores, rows = retrieve_topk(
         index, jnp.asarray(queries), corpus,
         top_k=args.top_k, per_table=args.per_table,
+        int8_rerank=not args.fast_int8,
     )
     scores, rows = np.asarray(scores), np.asarray(rows)
     dt = time.perf_counter() - t0
