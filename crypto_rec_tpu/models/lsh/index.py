@@ -947,12 +947,12 @@ def packed_retrieve_core(
 
     # stage 1: top T*top_k with duplicates; stage 2: dedup + final top-k.
     # approx_stage1 swaps the sort-lowered lax.top_k for approx_max_k
-    # (recall_target 0.95) — the same TPU selection-cost fix as the Pallas
+    # (recall_target 0.9) — the same TPU selection-cost fix as the Pallas
     # path's slab_topk(exact=False); near-tie lanes may swap, measured
     # recall at the bench points was unchanged.
     m1 = min(T * top_k, m)
     if approx_stage1:
-        s1, pos1 = jax.lax.approx_max_k(score, m1, recall_target=0.95)
+        s1, pos1 = jax.lax.approx_max_k(score, m1, recall_target=0.9)
     else:
         s1, pos1 = jax.lax.top_k(score, m1)                 # [q, m1]
     ids1 = jnp.take_along_axis(safe, pos1, axis=1)

@@ -390,13 +390,14 @@ def slab_topk(
     positions, stage 2 sort-dedups by id and re-selects top_k.
 
     exact=False (production) runs stage 1 through jax.lax.approx_max_k
-    (recall_target 0.95): on TPU lax.top_k lowers to a full variadic sort
+    (recall_target 0.9): on TPU lax.top_k lowers to a full variadic sort
     (~43 ms real at the 2M bench shapes — the whole-pipeline bottleneck,
     probe_r3_approx.py) while approx_max_k is a partial reduction.  The
     approximation only affects which near-tie lanes reach stage 2;
-    measured recall at the bench point was unchanged (0.9997) with
-    m1 = L*top_k.  exact=True keeps the bit-stable sort form for parity
-    tests.
+    measured recall at the bench point was UNCHANGED at recall_target 0.9
+    (0.9997, probe_r3 rt sweep: rt 0.9 = rt 0.95 recall at +12% q/s; 0.8
+    costs the last 4e-4).  exact=True keeps the bit-stable sort form for
+    parity tests.
 
     -> (scores [q, top_k] descending, row ids [q, top_k], -1 pad)."""
     q, L, win = dots.shape
@@ -406,7 +407,7 @@ def slab_topk(
     if exact:
         s1, pos1 = jax.lax.top_k(flat, m1)             # [q, m1]
     else:
-        s1, pos1 = jax.lax.approx_max_k(flat, m1, recall_target=0.95)
+        s1, pos1 = jax.lax.approx_max_k(flat, m1, recall_target=0.9)
     l_of = pos1 // win
     lane = pos1 % win
     a0 = jnp.take_along_axis(aligned_starts, l_of, axis=1)     # [q, m1]
