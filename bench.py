@@ -352,12 +352,20 @@ def main() -> None:
     if os.environ.get("BENCH_EUCLIDEAN", "1" if secondary_ok else "0") == "1":
         del pidx  # free the cosine slabs before packing euclidean tables
         pidx = None
+        # defaults from the round-3 augmented sweep: L=10/w=10/window 768
+        # measured recall 0.9986 at 32.3k q/s vs the L=16 XLA path's
+        # 0.9997 at 14.3k (L=16 augmented slabs OOM a 16 GB chip at 2M)
         E_K = int(os.environ.get("BENCH_EUC_K", 5))
-        E_L = int(os.environ.get("BENCH_EUC_L", 16))
-        E_PT = int(os.environ.get("BENCH_EUC_PT", 512))
-        E_W = float(os.environ.get("BENCH_EUC_W", 8.0))
+        E_L = int(os.environ.get("BENCH_EUC_L", 10))
+        E_PT = int(os.environ.get("BENCH_EUC_PT", 768))
+        E_W = float(os.environ.get("BENCH_EUC_W", 10.0))
+        # augmented layout (pack_index augment=True): euclidean rides the
+        # slab kernel; columns double to ceil((D+1)/128)*128, so the dtype
+        # gate uses the augmented width
+        E_AUG = os.environ.get("BENCH_EUC_AUG", "1") == "1"
+        D_AUG = -(-(D + 1) // 128) * 128 if E_AUG else D
         e_dtype = (
-            jnp.bfloat16 if E_L * (N + 4096) * D * 2 <= 6e9 else jnp.int8
+            jnp.bfloat16 if E_L * (N + 4096) * D_AUG * 2 <= 6e9 else jnp.int8
         )
         t0 = time.perf_counter()
         eidx = build_index(
@@ -367,7 +375,7 @@ def main() -> None:
         hard_sync(eidx.bucket_starts)
         e_build = time.perf_counter() - t0
         t0 = time.perf_counter()
-        eidx = pack_index(eidx, corpus, dtype=e_dtype)
+        eidx = pack_index(eidx, corpus, dtype=e_dtype, augment=E_AUG)
         hard_sync(jax.tree_util.tree_leaves(eidx))
         e_pack = time.perf_counter() - t0
         e_run = lambda: retrieve_topk(
@@ -386,7 +394,7 @@ def main() -> None:
             "k": E_K, "tables": E_L, "w": E_W, "per_table": E_PT,
             "qps": round(Q / e_s, 1), "recall": round(e_recall, 4),
             "build_s": round(e_build, 3), "pack_s": round(e_pack, 3),
-            "dtype": jnp.dtype(e_dtype).name,
+            "dtype": jnp.dtype(e_dtype).name, "augmented": E_AUG,
         }
         del eidx
 

@@ -34,7 +34,7 @@ _FORMAT_VERSION = 3
 # the meta blob.
 _PACKED_FIELDS = (
     "packed", "packed_rows", "packed_sqnorm", "packed_detailed",
-    "packed_scale", "packed_gscale",
+    "packed_scale", "packed_gscale", "packed_aug_scale",
 )
 
 

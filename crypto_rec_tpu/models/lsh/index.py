@@ -38,7 +38,7 @@ from crypto_rec_tpu.models.lsh.pstable import PStableLsh
     data_fields=(
         "family", "bucket_ids", "detailed", "sorted_rows", "bucket_starts",
         "packed", "packed_rows", "packed_sqnorm", "packed_detailed",
-        "packed_scale", "packed_gscale",
+        "packed_scale", "packed_gscale", "packed_aug_scale",
     ),
     meta_fields=("metric", "n_buckets", "n_rows"),
 )
@@ -93,6 +93,13 @@ class LshIndex:
     # trailed bf16 in round 2; quantization noise can permute near-ties,
     # so reranking stays the default).
     packed_gscale: Optional[jax.Array] = None
+    # Euclidean AUGMENTED slabs only (pack_index augment=True): rows are
+    # stored as [x, -|x|^2/2, 0-pad] so the slab kernel's dot IS the
+    # monotone rank x.q - |x|^2/2 (dist^2 = |q|^2 - 2*rank) — euclidean
+    # retrieval rides the same fused DMA kernel as cosine.  The scalar is
+    # the norm-column scale s: queries augment to [q, s, 0-pad] (int8
+    # stores the norm column as -|x|^2/(2*g*s), see pack_index).
+    packed_aug_scale: Optional[jax.Array] = None
 
 
 def resolve_use_pallas(flag: Optional[bool]) -> bool:
@@ -259,13 +266,16 @@ def build_index(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("dtype", "pad", "scale_mode"))
+@functools.partial(
+    jax.jit, static_argnames=("dtype", "pad", "scale_mode", "augment")
+)
 def pack_index(
     index: LshIndex,
     corpus: jax.Array,
     dtype=jnp.bfloat16,
     pad: int = 4096,
     scale_mode: str = "auto",
+    augment: bool = False,
 ) -> LshIndex:
     """Attach the packed-slab layout: per-table CSR-ordered corpus copies.
 
@@ -298,14 +308,35 @@ def pack_index(
     * "row" (auto default for euclidean, whose -(sq - 2·dot + |q|²) score
       mixes dots with true norms): per-row scales in `packed_scale`
       (row ≈ packed * scale), applied by the retrieval epilogue.
+
+    augment=True (euclidean only): store each row as [x, -|x|²/2, 0-pad]
+    in ceil((d+1)/128)*128 columns, so the fused slab kernel's plain dot
+    against the augmented query [q, s, 0-pad] IS the monotone rank
+    x·q - |x|²/2 (dist² = |q|² - 2·rank) — euclidean retrieval then rides
+    the same DMA pipeline as cosine (retrieve_topk routes augmented
+    indexes through the kernel; the blocked XLA core cannot score them).
+    int8 augmented: x columns share the global scale g, the norm column
+    its own scale s = max(|x|²/2)/(127·g) stored in packed_aug_scale, and
+    rank = kernel_dot · g stays order-preserving.
     """
     L, n = index.sorted_rows.shape
     d = corpus.shape[1]
     quantized = jnp.issubdtype(jnp.dtype(dtype), jnp.integer)
+    if augment and index.metric != "euclidean":
+        raise ValueError("augment=True is the euclidean rank layout")
     if scale_mode == "auto":
-        scale_mode = "global" if index.metric == "cosine" else "row"
-    if scale_mode not in ("global", "row"):
+        if augment:
+            scale_mode = "global" if quantized else "none"
+        else:
+            scale_mode = "global" if index.metric == "cosine" else "row"
+    if scale_mode not in ("global", "row", "none"):
         raise ValueError(f"unknown scale_mode {scale_mode!r}")
+    if augment and scale_mode == "row":
+        raise ValueError("augmented slabs use one global scale, not per-row")
+    d_aug = -(-(d + 1) // 128) * 128 if augment else d
+    aug_scale = None
+    if augment:
+        norm_half_max = jnp.max(jnp.sum(corpus * corpus, axis=1)) / 2.0
     g_scale = None
     if quantized and scale_mode == "global":
         # amax over NORMALIZED rows without materializing them: per-row
@@ -318,6 +349,11 @@ def pack_index(
         else:
             amax = jnp.max(jnp.abs(corpus))
         g_scale = jnp.maximum(amax, 1e-30) / 127.0
+    if augment:
+        if quantized:
+            aug_scale = jnp.maximum(norm_half_max, 1e-30) / (127.0 * g_scale)
+        else:
+            aug_scale = jnp.float32(1.0)
 
     def one_chunk(rows):
         g = corpus[rows].astype(jnp.float32)
@@ -328,6 +364,22 @@ def pack_index(
             sq = jnp.zeros((rows.shape[0],), jnp.float32)
         else:
             sq = jnp.sum(g * g, axis=1)
+        if augment:
+            # [x, -|x|^2/2, 0-pad]: the kernel's dot against [q, s, 0-pad]
+            # is the rank x.q - |x|^2/2 (int8: x cols scaled by g, norm
+            # col by g*s, so dot*g recovers the rank)
+            norm_col = (-sq / 2.0)[:, None]
+            if quantized:
+                gq = jnp.clip(jnp.round(g / g_scale), -127, 127)
+                nq = jnp.clip(
+                    jnp.round(norm_col / (g_scale * aug_scale)), -127, 0
+                )
+                row = jnp.concatenate([gq, nq], axis=1)
+            else:
+                row = jnp.concatenate([g, norm_col], axis=1)
+            row = jnp.pad(row, ((0, 0), (0, d_aug - d - 1)))
+            return (row.astype(dtype), sq,
+                    jnp.ones((rows.shape[0],), jnp.float32))
         if quantized and scale_mode == "global":
             qg = jnp.clip(jnp.round(g / g_scale), -127, 127).astype(dtype)
             return qg, sq, jnp.ones((rows.shape[0],), jnp.float32)
@@ -344,36 +396,40 @@ def pack_index(
     # a 16 GB chip)
     chunk = 1 << 20
 
-    def one_table(rows):
-        cpad = (-rows.shape[0]) % chunk
-        rp = jnp.pad(rows, (0, cpad))
-        qg, sq, sc = jax.lax.map(one_chunk, rp.reshape(-1, chunk))
-        m = rows.shape[0]
-        return (
-            qg.reshape(-1, d)[:m],
-            sq.reshape(-1)[:m],
-            sc.reshape(-1)[:m],
-        )
-
-    packed, sq, scale = jax.lax.map(one_table, index.sorted_rows)
     # round the padded length to a 512 multiple: the packed retrieve path
     # gathers W-row ALIGNED blocks (W in {128, 256, 512} dividing n + pad),
     # which XLA lowers to wide contiguous DMAs — unaligned window slices
     # fall off that fast path
     pad = -(n + pad) % 512 + pad
-    packed = jnp.pad(packed, ((0, 0), (0, pad), (0, 0)))
+
+    def one_table(rows):
+        cpad = (-rows.shape[0]) % chunk
+        rp = jnp.pad(rows, (0, cpad))
+        qg, sq, sc = jax.lax.map(one_chunk, rp.reshape(-1, chunk))
+        m = rows.shape[0]
+        # sentinel-pad INSIDE the per-table map: padding the stacked
+        # [L, n, d] output afterwards would materialize a second full
+        # copy of the slabs (2 x 8 GB at 2M x 16-table augmented = OOM)
+        return (
+            jnp.pad(qg.reshape(-1, d_aug)[:m], ((0, pad), (0, 0))),
+            jnp.pad(sq.reshape(-1)[:m], (0, pad)),
+            jnp.pad(sc.reshape(-1)[:m], (0, pad), constant_values=1.0),
+        )
+
+    packed, sq, scale = jax.lax.map(one_table, index.sorted_rows)
     packed_rows = jnp.pad(
         index.sorted_rows, ((0, 0), (0, pad)), constant_values=n
     )
     kw: dict = {"packed": packed, "packed_rows": packed_rows}
     if quantized and scale_mode == "global":
         kw["packed_gscale"] = jnp.asarray(g_scale, jnp.float32)
+    if augment:
+        kw["packed_aug_scale"] = jnp.asarray(aug_scale, jnp.float32)
     if quantized and scale_mode == "row":
-        kw["packed_scale"] = jnp.pad(
-            scale, ((0, 0), (0, pad)), constant_values=1.0
-        )
+        kw["packed_scale"] = scale        # padded inside one_table
+    if index.metric == "euclidean" and not augment:
+        kw["packed_sqnorm"] = sq          # padded inside one_table
     if index.metric == "euclidean":
-        kw["packed_sqnorm"] = jnp.pad(sq, ((0, 0), (0, pad)))
         if index.detailed is not None:
             # [L, n] fingerprints reordered per table into CSR order
             pd = jnp.take_along_axis(index.detailed, index.sorted_rows, axis=1)
@@ -734,6 +790,29 @@ def _retrieve_topk_block_packed(
     approx_stage1: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     quantized = jnp.issubdtype(index.packed.dtype, jnp.integer)
+    if index.packed_aug_scale is not None:
+        # augmented euclidean slabs are kernel-only (their d_aug columns
+        # cannot be scored by the blocked XLA core against d-dim queries);
+        # interpret mode keeps CPU tests runnable
+        from crypto_rec_tpu.ops.pallas.slabscore import (
+            packed_retrieve_pallas_euclid,
+        )
+
+        q_buckets, q_detailed = query_hashes(index, queries)
+        # the augmented rank's bf16/int8 band is ~0.4% of max|x|^2 —
+        # oversample 2x and rescore the survivors exactly (a 2*top_k-row
+        # gather), which restores true -distance scores and exact order
+        core_k = 2 * top_k
+        _s, ids = packed_retrieve_pallas_euclid(
+            index.packed, index.packed_rows,
+            index.packed_detailed if filtered else None,
+            index.bucket_starts, index.n_rows, queries.shape[1],
+            queries, q_buckets, q_detailed if filtered else None,
+            index.packed_gscale, index.packed_aug_scale,
+            core_k, per_table,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return rerank_exact(corpus, index.metric, queries, ids, top_k)
     # int8_rerank=False + global-scale slabs: rank the raw int8 dots and
     # dequant the SCORES with the stored scalar — no exact rerank (its
     # random-row gather alone cost ~31 ms at the 2M bench point and was

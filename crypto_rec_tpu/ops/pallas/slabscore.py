@@ -467,3 +467,78 @@ def packed_retrieve_pallas(
         mask=strict,
     )
     return slab_topk(dots, a0, packed_rows, n_rows, top_k, exact=strict)
+
+
+def packed_retrieve_pallas_euclid(
+    packed: jax.Array,           # [L, n_pad, d_aug] AUGMENTED slabs
+    packed_rows: jax.Array,      # [L, n_pad] int32, sentinel n past the end
+    packed_detailed,             # [L, n_pad] fingerprints or None
+    bucket_starts: jax.Array,    # [L, n_buckets + 1]
+    n_rows: int,
+    d: int,                      # original (un-augmented) dimensionality
+    queries: jax.Array,          # [q, d] RAW euclidean queries
+    q_buckets: jax.Array,        # [q, L]
+    q_detailed,                  # [q, L] fingerprints or None
+    gscale,                      # f32 scalar (int8 slabs) or None (bf16)
+    aug_scale: jax.Array,        # f32 scalar: the norm column's query comp
+    top_k: int,
+    per_table: int,
+    q_tile: int = 16,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Euclidean retrieval over AUGMENTED slabs (pack_index augment=True):
+    the kernel's plain dot against the augmented query [q, s, 0-pad] is
+    the monotone rank x·q - |x|²/2, so euclidean rides the exact same
+    maskless DMA pipeline + approx epilogue as cosine; final scores are
+    -sqrt(max(|q|² - 2·rank, 0)) = -distance, computed on the top_k
+    survivors only.
+
+    Window starts jump to the query's exact-fingerprint run when the
+    fingerprint plane is present (the same (bucket, fingerprint) CSR
+    contract as packed_retrieve_core) — lanes past the run are the
+    aligned-overfetch multiprobe bonus, scored by TRUE distance, so recall
+    is a superset of the reference's filtered bucket fetch
+    (/root/reference/lib/data_structures/cust_hashtable.hpp:73-103)."""
+    from crypto_rec_tpu.models.lsh.index import _fp_run_starts
+
+    L, n_pad, d_aug = packed.shape
+    q = queries.shape[0]
+    l_idx = jnp.arange(L, dtype=jnp.int32)
+    start = bucket_starts[l_idx[None, :], q_buckets]            # [q, L]
+    end = bucket_starts[l_idx[None, :], q_buckets + 1]
+    size = end - start
+    if packed_detailed is not None and q_detailed is not None:
+        flat_fp = packed_detailed.reshape(-1)
+        base = l_idx[None, :] * n_pad
+        s0 = _fp_run_starts(
+            lambda p: flat_fp[base + p], start, end, q_detailed, n_pad
+        )
+    else:
+        golden = jnp.int32(-1640531527)
+        mix = (q_buckets * golden) ^ (l_idx[None, :] * jnp.int32(40503))
+        s0 = start + jnp.remainder(
+            jnp.abs(mix), jnp.maximum(size - per_table, 0) + 1
+        )
+    sizes = jnp.minimum(end - s0, per_table)
+
+    qv = queries.astype(jnp.float32)
+    q_aug = jnp.concatenate(
+        [
+            qv,
+            jnp.broadcast_to(
+                jnp.asarray(aug_scale, jnp.float32), (q, 1)
+            ),
+            jnp.zeros((q, d_aug - d - 1), jnp.float32),
+        ],
+        axis=1,
+    )
+    dots, a0 = slab_window_dots(
+        packed, None, s0, sizes, q_aug,
+        per_table=per_table, q_tile=q_tile, interpret=interpret, mask=False,
+    )
+    rank, ids = slab_topk(dots, a0, packed_rows, n_rows, top_k, exact=False)
+    if gscale is not None:
+        rank = rank * gscale                       # int8: dequant the rank
+    qsq = jnp.sum(qv * qv, axis=1, keepdims=True)
+    score = -jnp.sqrt(jnp.maximum(qsq - 2.0 * rank, 0.0))
+    return jnp.where(ids >= 0, score, -jnp.inf), ids

@@ -43,7 +43,7 @@ from crypto_rec_tpu.models.lsh.index import (
     data_fields=(
         "family", "sorted_rows", "bucket_starts", "detailed",
         "packed", "packed_rows", "packed_sqnorm", "packed_detailed",
-        "packed_scale", "packed_gscale",
+        "packed_scale", "packed_gscale", "packed_aug_scale",
     ),
     meta_fields=("metric", "n_buckets", "n_local", "n_shards"),
 )
@@ -74,6 +74,9 @@ class ShardedLshIndex:
     # true-sim approximations, comparable ACROSS shards at the all_gather
     # merge (each shard applies its own scalar before merging)
     packed_gscale: Optional[jax.Array] = None
+    # reserved for the augmented-euclidean layout (single-chip only today;
+    # pack_sharded_index does not emit it)
+    packed_aug_scale: Optional[jax.Array] = None
 
 
 def build_sharded_index(

@@ -243,3 +243,40 @@ def test_packed_int8_no_rerank_mode():
     s = np.asarray(s)
     assert np.abs(s).max() < 1.05       # dequantized to cosine range
     assert (s[:, 0] > 0.95).all()       # planted twin similarity
+
+
+def test_euclidean_augmented_kernel_path():
+    """pack_index(augment=True): euclidean retrieval through the slab
+    kernel (rank = x.q - |x|^2/2 as a plain augmented dot).  Planted twins
+    must come back first with true -distance scores, for bf16 AND int8
+    augmented slabs; scores must match exact distances to the layout's
+    quantization band."""
+    from crypto_rec_tpu.models.lsh.index import pack_index
+
+    rng = np.random.default_rng(9)
+    n, d, q = 4096, 64, 32
+    x = rng.normal(size=(n, d)).astype(np.float32) * 2.0
+    target = rng.choice(n, size=q, replace=False)
+    qs = x[target] + 1e-3 * rng.normal(size=(q, d)).astype(np.float32)
+    idx = build_index(KEY, jnp.asarray(x), "euclidean", k=4, L=8,
+                      lsh_bucket_div=4, euclidean_h_w=8.0)
+    for dt, band in ((jnp.bfloat16, 1e-4), (jnp.int8, 1e-4)):
+        pidx = pack_index(idx, jnp.asarray(x), dtype=dt, pad=512,
+                          augment=True)
+        assert pidx.packed_aug_scale is not None
+        assert pidx.packed.shape[-1] == 128  # 64 + 1 -> padded to 128
+        s, ids = retrieve_topk(pidx, jnp.asarray(qs), jnp.asarray(x),
+                               top_k=5, per_table=128)
+        ids = np.asarray(ids)
+        assert (ids[:, 0] == target).all(), dt
+        # scores are EXACT -distances after the survivor rerank
+        s = np.asarray(s)
+        assert (s[:, 0] > -0.05).all(), (dt, s[:, 0].min())
+        # exact-distance agreement on the returned ids
+        for qi in range(0, q, 7):
+            for slot in range(5):
+                r = ids[qi, slot]
+                if r < 0:
+                    continue
+                true_d = float(np.linalg.norm(qs[qi] - x[r]))
+                assert abs(-s[qi, slot] - true_d) < band, (dt, qi, slot)
