@@ -40,7 +40,7 @@ from crypto_rec_tpu.ops.hamming import hamming_probe_order
     data_fields=(
         "family", "mix_mul", "mix_add", "vertices", "sorted_rows",
         "bucket_starts", "packed", "packed_rows", "packed_sqnorm",
-        "packed_scale",
+        "packed_scale", "packed_gscale",
     ),
     meta_fields=("metric", "k", "n_rows"),
 )
@@ -66,6 +66,9 @@ class Hypercube:
     packed_rows: Optional[jax.Array] = None    # [1, n + pad]
     packed_sqnorm: Optional[jax.Array] = None  # [1, n + pad] (euclidean)
     packed_scale: Optional[jax.Array] = None   # [1, n + pad] (int8)
+    # global-scale int8 only: the one dequant scalar (raw dots x it are
+    # approximate sims; see index.LshIndex.packed_gscale)
+    packed_gscale: Optional[jax.Array] = None
 
 
 def _f_bits(h: jax.Array, mul: jax.Array, add: jax.Array) -> jax.Array:
@@ -164,7 +167,7 @@ def pack_cube(
         sq = None
     else:
         sq = jnp.sum(g * g, axis=1)
-    scale = None
+    scale = g_scale = None
     if quantized and scale_mode == "global":
         g_scale = jnp.maximum(jnp.max(jnp.abs(g)), 1e-30) / 127.0
         g = jnp.clip(jnp.round(g / g_scale), -127, 127)
@@ -184,6 +187,8 @@ def pack_cube(
         kw["packed_scale"] = jnp.pad(scale, (0, pad), constant_values=1.0)[None]
     if sq is not None:
         kw["packed_sqnorm"] = jnp.pad(sq, (0, pad))[None]
+    if g_scale is not None:
+        kw["packed_gscale"] = jnp.asarray(g_scale, jnp.float32)
     return dataclasses.replace(cube, **kw)
 
 
@@ -216,8 +221,27 @@ def cube_retrieve_topk(
 
     if cube.packed is None:
         raise ValueError("pack_cube first (packed layout required)")
-    masks = jnp.asarray(hamming_probe_order(cube.k, probes))  # [p]
     quantized = jnp.issubdtype(cube.packed.dtype, jnp.integer)
+    # cosine scale-free slabs ride the fused slab kernel: the `probes`
+    # vertex windows of a query are regrouped as probes/8 REPLICATED query
+    # rows of 8 windows each, so the shared-slab kernel form streams them
+    # with the same DMA pipeline as the 8-table LSH index (no [q, T*B, W,
+    # d] gather temporary).  Scale-free = bf16 or global-scale int8.
+    from crypto_rec_tpu.models.lsh.index import resolve_use_pallas
+
+    use_kernel = (
+        cube.metric == "cosine"
+        and cube.packed_scale is None
+        and cube.packed.shape[-1] % 128 == 0
+        and cube.packed.shape[1] >= per_probe + 160
+        and probes % 8 == 0
+    )
+    if use_kernel:
+        return _cube_retrieve_kernel(
+            cube, queries, corpus, top_k, probes, per_probe,
+            interpret=not resolve_use_pallas(None),
+        )
+    masks = jnp.asarray(hamming_probe_order(cube.k, probes))  # [p]
     core_k = min(4 * top_k, probes * top_k) if quantized else top_k
 
     q = queries.shape[0]
@@ -269,3 +293,70 @@ def cube_candidate_ids(
         return _dedup_fixed(gathered, sentinel, budget)
 
     return jax.vmap(per_query)(qv)
+
+
+def _cube_retrieve_kernel(
+    cube: Hypercube,
+    queries: jax.Array,   # [q, d]
+    corpus: jax.Array,    # [n, d] (int8 no-rerank: unused)
+    top_k: int,
+    probes: int,
+    per_probe: int,
+    group: int = 8,
+    interpret: bool = False,
+):
+    """Cosine hypercube probing on the fused slab kernel (shared-slab
+    form): each query's `probes` vertex windows are regrouped as
+    probes/group replicated query rows of `group` windows, streamed by the
+    same DMA pipeline as the LSH index's L tables.  Maskless multiprobe +
+    approx stage-1 + id-dedup, exactly the cosine production epilogue;
+    global-scale int8 dots are dequantized with the stored scalar."""
+    from crypto_rec_tpu.ops.pallas.slabscore import (
+        _dedup_topk_pairs, slab_window_dots,
+    )
+
+    q, d = queries.shape
+    n_pad = cube.packed.shape[1]
+    masks = jnp.asarray(hamming_probe_order(cube.k, probes))      # [T]
+    qv = queries.astype(jnp.float32)
+    qv = qv / jnp.maximum(jnp.linalg.norm(qv, axis=1, keepdims=True), 1e-30)
+    home = _vertex_ids(
+        cube.metric, cube.k, cube.family, cube.mix_mul, cube.mix_add, queries
+    )
+    pv = home[:, None] ^ masks[None, :]                           # [q, T]
+    starts = cube.bucket_starts[0]
+    start = starts[pv]
+    end = starts[pv + 1]
+    size = end - start
+    golden = jnp.int32(-1640531527)
+    t_idx = jnp.arange(probes, dtype=jnp.int32)
+    mix = (pv * golden) ^ (t_idx[None, :] * jnp.int32(40503))
+    s0 = start + jnp.remainder(
+        jnp.abs(mix), jnp.maximum(size - per_probe, 0) + 1
+    )
+    sizes = jnp.minimum(end - s0, per_probe)
+
+    R = probes // group
+    s0r = s0.reshape(q * R, group)
+    sizesr = sizes.reshape(q * R, group)
+    qvr = jnp.repeat(qv, R, axis=0)                               # [q*R, d]
+    dots, a0 = slab_window_dots(
+        cube.packed, None, s0r, sizesr, qvr,
+        per_table=per_probe, interpret=interpret, mask=False,
+        shared_slab=True,
+    )                                                 # [q*R, group, win]
+    win = dots.shape[2]
+    flat = dots.reshape(q, probes * win)
+    m1 = min(max(4 * top_k, 2 * group), probes * win)
+    s1, pos1 = jax.lax.approx_max_k(flat, m1, recall_target=0.9)
+    # recover CSR positions: window t = pos1 // win, lane = pos1 % win
+    a_flat = a0.reshape(q, probes)
+    t_of = pos1 // win
+    lane = pos1 % win
+    gpos = jnp.take_along_axis(a_flat, t_of, axis=1) + lane
+    ids1 = cube.packed_rows[0][jnp.minimum(gpos, n_pad - 1)]
+    ids1 = jnp.where(s1 > -jnp.inf, ids1, cube.n_rows)
+    s2, ids = _dedup_topk_pairs(s1, ids1, cube.n_rows, top_k)
+    if cube.packed_gscale is not None:
+        s2 = jnp.where(ids >= 0, s2 * cube.packed_gscale, -jnp.inf)
+    return s2, ids

@@ -213,7 +213,7 @@ def _make_kernel_fused(L: int, win: int, d: int, qt: int, nbuf: int = 4,
 @functools.partial(
     jax.jit,
     static_argnames=("per_table", "q_tile", "interpret", "unroll", "fuse_l",
-                     "nbuf", "mask"),
+                     "nbuf", "mask", "shared_slab"),
 )
 def slab_window_dots(
     packed: jax.Array,           # [L, n_pad, d] bf16/int8 CSR-ordered slabs
@@ -228,9 +228,15 @@ def slab_window_dots(
     fuse_l: bool = True,
     nbuf: int = 4,
     mask: bool = True,
+    shared_slab: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """-> (dots [q, L, win] f32, aligned window starts [q, L] int32,
            LOCAL to each table).
+
+    shared_slab=True: `packed` is ONE slab ([1, n_pad, d]) and every one
+    of the starts.shape[1] windows reads it — the hypercube form, where a
+    query's `probes` vertex windows all live in the single vertex-CSR
+    slab (window t of the LSH form reads slab t instead).
 
     win = (per_table + _ALIGN) rounded up to a 128 lane multiple.  With
     mask=True the valid rows of window (q, l) sit at lanes
@@ -246,7 +252,12 @@ def slab_window_dots(
     exceeds the budget the call automatically shrinks nbuf (floor 2) and
     then falls back to the per-window kernel (L-times less scratch).
     """
-    L, n_pad, d = packed.shape
+    n_pad, d = packed.shape[1], packed.shape[2]
+    L = starts.shape[1] if shared_slab else packed.shape[0]
+    if shared_slab and packed.shape[0] != 1:
+        raise ValueError("shared_slab expects packed [1, n_pad, d]")
+    if shared_slab and packed_scale is not None:
+        raise ValueError("shared_slab covers scale-free slabs only")
     q = queries.shape[0]
     win = (per_table + _ALIGN + 127) // 128 * 128
     if n_pad < win:
@@ -289,8 +300,12 @@ def slab_window_dots(
 
     # absolute row offsets into the flattened [L * n_pad, d] slab array;
     # n_pad is a 512 multiple (pack_index), so the l * n_pad shift keeps
-    # the _ALIGN divisibility proof intact
-    l_off = jnp.arange(L, dtype=jnp.int32) * n_pad
+    # the _ALIGN divisibility proof intact (shared_slab: all windows read
+    # the one slab, offset 0)
+    l_off = (
+        jnp.zeros((L,), jnp.int32) if shared_slab
+        else jnp.arange(L, dtype=jnp.int32) * n_pad
+    )
     meta = jnp.concatenate(
         [aligned + l_off[None, :], head, size], axis=1
     ).astype(jnp.int32)                                   # [qp, 3L]
@@ -323,7 +338,7 @@ def slab_window_dots(
         interpret=interpret,
     )(
         meta,
-        packed.reshape(L * n_pad, d),
+        packed.reshape(-1, d),
         queries.astype(jnp.float32),
     )
     dots = dots[:q]

@@ -217,3 +217,46 @@ def test_cube_retrieve_topk_int8_exact_rerank():
     np.testing.assert_array_equal(np.asarray(i2)[:, 0], np.arange(q))
     match = (np.asarray(i1) == np.asarray(i2)).mean()
     assert match > 0.9
+
+
+def test_cube_retrieve_kernel_branch():
+    """probes % 8 == 0 and d % 128 == 0 route cosine cube retrieval
+    through the shared-slab kernel form (replicated-query window groups).
+    Its maskless windows are a candidate SUPERSET of the probe-union mask,
+    so scores must dominate the masked brute force rank-for-rank, planted
+    twins must come back first, and ids must be valid + deduplicated."""
+    from crypto_rec_tpu.models.lsh.hypercube import (
+        build_hypercube, cube_candidate_mask, pack_cube, cube_retrieve_topk,
+    )
+
+    rng = np.random.default_rng(29)
+    n, d, q, kk, probes, tk = 2048, 128, 16, 5, 8, 6
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    target = rng.choice(n, size=q, replace=False)
+    qs = jnp.asarray(
+        np.asarray(x)[target] + 1e-3 * rng.normal(size=(q, d)).astype(np.float32)
+    )
+    for dt in (jnp.bfloat16, jnp.int8):
+        cube = build_hypercube(jax.random.PRNGKey(2), x, "cosine", kk, 1.0)
+        cube = pack_cube(cube, x, dtype=dt, pad=1024)
+        if dt == jnp.int8:
+            assert cube.packed_gscale is not None
+        vals, ids = cube_retrieve_topk(
+            cube, qs, x, top_k=tk, probes=probes, per_probe=256
+        )
+        vals, ids = np.asarray(vals), np.asarray(ids)
+        assert (ids[:, 0] == target).all(), dt
+        assert ids.max() < n
+        for row in ids:
+            real = row[row >= 0]
+            assert len(set(real.tolist())) == len(real)
+        # domination over the probe-union masked brute force
+        mask = np.asarray(cube_candidate_mask(cube, qs, probes))
+        xn = np.asarray(x) / np.linalg.norm(np.asarray(x), axis=1, keepdims=True)
+        qn = np.asarray(qs) / np.linalg.norm(np.asarray(qs), axis=1, keepdims=True)
+        score = np.where(mask, qn @ xn.T, -np.inf)
+        ref = -np.sort(-score, axis=1)[:, :tk]
+        got = np.where(ids >= 0, vals, -np.inf)
+        band = 0.02 if dt == jnp.bfloat16 else 0.05
+        ok = np.isfinite(ref)
+        assert (got[ok] + band >= ref[ok]).all(), dt
