@@ -149,6 +149,7 @@ def pack_sharded_index(
     dtype=jnp.bfloat16,
     pad: int = 4096,
     scale_mode: str = "auto",
+    augment: bool = False,
 ) -> ShardedLshIndex:
     """Per-shard packed-slab layout (models/lsh/index.pack_index, applied
     shard-locally): each shard rewrites ITS corpus rows in CSR order so its
@@ -167,15 +168,23 @@ def pack_sharded_index(
     pad = -(n_local + pad) % 512 + pad  # align to the block grid
     has_det = index.detailed is not None
     quantized = jnp.issubdtype(jnp.dtype(dtype), jnp.integer)
+    if augment and metric != "euclidean":
+        raise ValueError("augment=True is the euclidean rank layout")
     if scale_mode == "auto":
-        scale_mode = "global" if metric == "cosine" else "row"
-    if scale_mode not in ("global", "row"):
+        if augment:
+            scale_mode = "global" if quantized else "none"
+        else:
+            scale_mode = "global" if metric == "cosine" else "row"
+    if scale_mode not in ("global", "row", "none"):
         raise ValueError(f"unknown scale_mode {scale_mode!r}")
+    if augment and scale_mode == "row":
+        raise ValueError("augmented slabs use one global scale, not per-row")
     row_scaled = quantized and scale_mode == "row"
+    d_aug = -(-(d + 1) // 128) * 128 if augment else d
 
     def body(rows, corpus_blk, *rest):
         rows = rows[0]                    # [L, n_local]
-        g_scale = None
+        g_scale = aug_scale = None
         if quantized and scale_mode == "global":
             if metric == "cosine":
                 amax = jnp.max(
@@ -185,6 +194,16 @@ def pack_sharded_index(
             else:
                 amax = jnp.max(jnp.abs(corpus_blk))
             g_scale = jnp.maximum(amax, 1e-30) / 127.0
+        if augment:
+            norm_half_max = jnp.max(
+                jnp.sum(corpus_blk * corpus_blk, axis=1)
+            ) / 2.0
+            if quantized:
+                aug_scale = jnp.maximum(norm_half_max, 1e-30) / (
+                    127.0 * g_scale
+                )
+            else:
+                aug_scale = jnp.float32(1.0)
 
         def one_table(r):
             g = corpus_blk[r].astype(jnp.float32)
@@ -195,6 +214,20 @@ def pack_sharded_index(
                 s = jnp.zeros((r.shape[0],), jnp.float32)
             else:
                 s = jnp.sum(g * g, axis=1)
+            if augment:
+                # [x, -|x|^2/2, 0-pad]: see models/lsh/index.pack_index
+                norm_col = (-s / 2.0)[:, None]
+                if quantized:
+                    gq = jnp.clip(jnp.round(g / g_scale), -127, 127)
+                    nq = jnp.clip(
+                        jnp.round(norm_col / (g_scale * aug_scale)), -127, 0
+                    )
+                    row = jnp.concatenate([gq, nq], axis=1)
+                else:
+                    row = jnp.concatenate([g, norm_col], axis=1)
+                row = jnp.pad(row, ((0, 0), (0, d_aug - d - 1)))
+                return (row.astype(dtype), s,
+                        jnp.ones((r.shape[0],), jnp.float32))
             if quantized and scale_mode == "global":
                 g = jnp.clip(jnp.round(g / g_scale), -127, 127)
                 return g.astype(dtype), s, jnp.ones((r.shape[0],), jnp.float32)
@@ -211,16 +244,18 @@ def pack_sharded_index(
         out = (packed[None], prows[None])
         if quantized and scale_mode == "global":
             out += (jnp.reshape(g_scale, (1,)).astype(jnp.float32),)
+        if augment:
+            out += (jnp.reshape(aug_scale, (1,)).astype(jnp.float32),)
         if row_scaled:
             out += (jnp.pad(
                 scale, ((0, 0), (0, pad)), constant_values=1.0
             )[None],)
-        if metric == "euclidean":
+        if metric == "euclidean" and not augment:
             out += (jnp.pad(sq, ((0, 0), (0, pad)))[None],)
-            if has_det:
-                det = rest[0][0]          # [L, n_local] fingerprints
-                pd = jnp.take_along_axis(det, rows, axis=1)
-                out += (jnp.pad(pd, ((0, 0), (0, pad)))[None],)
+        if metric == "euclidean" and has_det:
+            det = rest[0][0]              # [L, n_local] fingerprints
+            pd = jnp.take_along_axis(det, rows, axis=1)
+            out += (jnp.pad(pd, ((0, 0), (0, pad)))[None],)
         return out
 
     in_specs = [P("mp", None, None), P("mp", None)]
@@ -232,17 +267,20 @@ def pack_sharded_index(
     if quantized and scale_mode == "global":
         fields.append("packed_gscale")
         out_specs += (P("mp"),)
+    if augment:
+        fields.append("packed_aug_scale")
+        out_specs += (P("mp"),)
     if row_scaled:
         fields.append("packed_scale")
         out_specs += (P("mp", None, None),)
-    if metric == "euclidean":
+    if metric == "euclidean" and not augment:
         fields.append("packed_sqnorm")
         out_specs += (P("mp", None, None),)
-        if has_det:
-            in_specs.append(P("mp", None, None))
-            args.append(index.detailed)
-            fields.append("packed_detailed")
-            out_specs += (P("mp", None, None),)
+    if metric == "euclidean" and has_det:
+        in_specs.append(P("mp", None, None))
+        args.append(index.detailed)
+        fields.append("packed_detailed")
+        out_specs += (P("mp", None, None),)
     outs = jax.shard_map(
         body, mesh=mesh, in_specs=tuple(in_specs), out_specs=out_specs,
         check_vma=False,
@@ -291,7 +329,74 @@ def sharded_retrieve_topk(
     if index.packed is not None:
         quantized = jnp.issubdtype(index.packed.dtype, jnp.integer)
         has_scale = index.packed_scale is not None  # row-scale int8 only
+        augmented = index.packed_aug_scale is not None
         from crypto_rec_tpu.models.lsh.index import resolve_use_pallas
+
+        if augmented:
+            # euclidean augmented slabs: each shard runs the slab kernel
+            # on its slabs (rank dot), oversamples 2x, exactly reranks its
+            # survivors against its corpus rows (restoring true -distance
+            # scores — the augmented rank's precision band, see
+            # slabscore.packed_retrieve_pallas_euclid), and the merge
+            # compares exact scores across shards.
+            from crypto_rec_tpu.ops.pallas.slabscore import (
+                packed_retrieve_pallas_euclid,
+            )
+
+            def body_aug(packed, prows, starts, gsc, asc, *rest):
+                i = 0
+                pdet = None
+                if filtered and index.packed_detailed is not None:
+                    pdet = rest[i][0]
+                    i += 1
+                corpus_blk = rest[i]
+                qh = fam.hash_values(queries)
+                qb = fam.bucket_ids_from_hashes(qh, index.n_buckets)
+                qd = fam.fingerprints_from_hashes(qh)
+                _s, loc_ids = packed_retrieve_pallas_euclid(
+                    packed[0], prows[0], pdet, starts[0], n_local,
+                    queries.shape[1], queries, qb,
+                    qd if filtered else None,
+                    gsc[0] if quantized else None, asc[0],
+                    2 * top_k, per_table or budget,
+                    interpret=pallas_interpret
+                    or not resolve_use_pallas(use_pallas),
+                )
+                loc_vals, loc_ids = rerank_exact(
+                    corpus_blk, metric, queries, loc_ids, top_k
+                )
+                shard = jax.lax.axis_index("mp")
+                gids = jnp.where(loc_ids >= 0, loc_ids + shard * n_local, -1)
+                g_vals = jax.lax.all_gather(loc_vals, "mp", axis=1).reshape(
+                    queries.shape[0], -1
+                )
+                g_ids = jax.lax.all_gather(gids, "mp", axis=1).reshape(
+                    queries.shape[0], -1
+                )
+                vals, pos = jax.lax.top_k(g_vals, top_k)
+                ids = jnp.take_along_axis(g_ids, pos, axis=1)
+                return vals, jnp.where(vals > -jnp.inf, ids, -1)
+
+            in_specs = [
+                P("mp", *([None] * 3)), P("mp", None, None),
+                P("mp", None, None), P("mp"), P("mp"),
+            ]
+            gsc_arg = (
+                index.packed_gscale if quantized
+                else jnp.ones((index.n_shards,), jnp.float32)
+            )
+            args = [index.packed, index.packed_rows, index.bucket_starts,
+                    gsc_arg, index.packed_aug_scale]
+            if filtered and index.packed_detailed is not None:
+                in_specs.append(P("mp", None, None))
+                args.append(index.packed_detailed)
+            in_specs.append(P("mp", None))
+            args.append(corpus)
+            return jax.shard_map(
+                body_aug, mesh=mesh, in_specs=tuple(in_specs),
+                out_specs=(P(None, None), P(None, None)),
+                check_vma=False,
+            )(*args)
 
         use_kernel = (
             metric == "cosine"

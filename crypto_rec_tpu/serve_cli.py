@@ -40,6 +40,11 @@ def build_argparser() -> argparse.ArgumentParser:
              "corpus copies for ~3.5x retrieval throughput)",
     )
     r.add_argument(
+        "--augment", action="store_true",
+        help="with --pack on a euclidean index: norm-augmented slabs so "
+             "retrieval rides the fused slab kernel",
+    )
+    r.add_argument(
         "--fast-int8", action="store_true",
         help="global-scale int8 indexes: rank raw dots and dequantize the "
              "scores (skip the exact rerank) — fastest mode when score "
@@ -84,7 +89,7 @@ def _retrieve(args) -> int:
         else:
             from crypto_rec_tpu.models.lsh.index import pack_index
 
-            index = pack_index(index, corpus)
+            index = pack_index(index, corpus, augment=args.augment)
     t0 = time.perf_counter()
     scores, rows = retrieve_topk(
         index, jnp.asarray(queries), corpus,

@@ -215,3 +215,43 @@ def test_sharded_pallas_leg_matches_xla():
             sb = float(qn[qi] @ xn[pi[qi, slot]])
             assert abs(sa - sb) < 2e-2, (dtype, qi, slot, sa, sb)
         np.testing.assert_allclose(xs, ps, rtol=1e-2, atol=2e-2)
+
+
+def test_sharded_euclidean_augmented_kernel_leg():
+    """pack_sharded_index(augment=True): each shard's euclidean retrieval
+    runs the slab kernel on augmented slabs + exact survivor rerank; the
+    merged global top-k must find the planted twins with true -distance
+    scores, bf16 AND int8 (per-shard scale pairs)."""
+    from crypto_rec_tpu.parallel.sharded_index import pack_sharded_index
+
+    mesh = make_mesh((1, 8))
+    rng = np.random.default_rng(41)
+    n, d, q = 8 * 512, 128, 24
+    corpus = rng.normal(size=(n, d)).astype(np.float32)
+    target = rng.choice(n, size=q, replace=False)
+    queries = corpus[target] + 1e-3 * rng.normal(size=(q, d)).astype(np.float32)
+    sharded = build_sharded_index(
+        mesh, jax.random.PRNGKey(3), shard_corpus(mesh, jnp.asarray(corpus)),
+        "euclidean", k=4, L=6, lsh_bucket_div=4, euclidean_h_w=8.0,
+    )
+    for dt in (jnp.bfloat16, jnp.int8):
+        pidx = pack_sharded_index(
+            mesh, sharded, shard_corpus(mesh, jnp.asarray(corpus)),
+            dtype=dt, pad=512, augment=True,
+        )
+        assert pidx.packed_aug_scale is not None
+        assert pidx.packed.shape[-1] == 256  # 128 + 1 -> padded
+        vals, gids = sharded_retrieve_topk(
+            mesh, pidx, jnp.asarray(queries),
+            shard_corpus(mesh, jnp.asarray(corpus)),
+            budget=128, top_k=5, per_table=128, pallas_interpret=True,
+        )
+        gids = np.asarray(gids)
+        assert (gids[:, 0] == target).all(), dt
+        vals = np.asarray(vals)
+        assert (vals[:, 0] > -0.05).all(), dt
+        # exact -distance scores after the per-shard rerank
+        for qi in range(0, q, 5):
+            r = gids[qi, 0]
+            true_d = float(np.linalg.norm(queries[qi] - corpus[r]))
+            assert abs(-vals[qi, 0] - true_d) < 1e-4, dt
