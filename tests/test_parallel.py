@@ -181,7 +181,7 @@ def test_routed_retrieve_topk_overflow_accounted():
         k=3, L=8, lsh_bucket_div=4, euclidean_h_w=1.0,
     )
     # k=3 -> 8 buckets over 8 shards: nearly every query wants every shard;
-    # cap=1 必 drops requests
+    # cap=1 necessarily drops requests
     vals, gids, stats = routed_retrieve_topk(
         mesh, index, jnp.asarray(queries), jnp.asarray(corpus), top_k=5, cap=1
     )
