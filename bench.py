@@ -319,10 +319,12 @@ def main() -> None:
         qset = RatingSet(ratings=queries, known=q_known, mean=q_mean)
 
         def run_cf():
-            # approx-sim int8 mode: CF weights tolerate ~1% quant noise
+            # approx-sim int8 mode: CF weights tolerate ~1% quant noise.
+            # stage1_width=96 < L*P=160: measured identical neighbor
+            # recall at 1.5x the retrieval q/s (slab_topk docstring)
             sims, nidx = retrieve_topk(
                 pidx, queries, corpus, top_k=TOP_P, per_table=PT,
-                int8_rerank=False,
+                int8_rerank=False, stage1_width=96,
             )
             return recommend_topk_retrieved(qset, nset, sims, nidx, TOP_N)
 

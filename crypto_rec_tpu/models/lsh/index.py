@@ -646,7 +646,7 @@ def gather_candidate_ids(
     jax.jit,
     static_argnames=(
         "top_k", "per_table", "filtered", "q_block", "block_rows",
-        "use_pallas", "int8_rerank", "approx_stage1",
+        "use_pallas", "int8_rerank", "approx_stage1", "stage1_width",
     ),
 )
 def retrieve_topk(
@@ -661,8 +661,12 @@ def retrieve_topk(
     use_pallas: Optional[bool] = None,
     int8_rerank: bool = True,
     approx_stage1: bool = False,
+    stage1_width: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused end-to-end retrieval: bucket gather -> score -> top-k.
+
+    stage1_width (kernel path only) caps the stage-1 survivor count below
+    the L*top_k dedup guarantee — see slabscore.slab_topk.
 
     -> (scores [q, top_k] descending, row ids [q, top_k], -1 pad).  Scores
     are cosine similarity / negated euclidean distance (nearest-first).
@@ -685,7 +689,7 @@ def retrieve_topk(
     vals, ids = jax.lax.map(
         lambda blk: _retrieve_topk_block(
             index, blk, corpus, top_k, per_table, filtered, block_rows,
-            use_pallas, int8_rerank, approx_stage1,
+            use_pallas, int8_rerank, approx_stage1, stage1_width,
         ),
         queries_p.reshape(-1, q_block, queries.shape[1]),
     )
@@ -706,11 +710,12 @@ def _retrieve_topk_block(
     use_pallas: Optional[bool] = None,
     int8_rerank: bool = True,
     approx_stage1: bool = False,
+    stage1_width: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     if index.packed is not None:
         return _retrieve_topk_block_packed(
             index, queries, corpus, top_k, per_table, filtered, block_rows,
-            use_pallas, int8_rerank, approx_stage1,
+            use_pallas, int8_rerank, approx_stage1, stage1_width,
         )
     L = index.bucket_ids.shape[1]
     q_buckets, q_detailed = query_hashes(index, queries)
@@ -788,6 +793,7 @@ def _retrieve_topk_block_packed(
     use_pallas: Optional[bool] = None,
     int8_rerank: bool = True,
     approx_stage1: bool = False,
+    stage1_width: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     quantized = jnp.issubdtype(index.packed.dtype, jnp.integer)
     if index.packed_aug_scale is not None:
@@ -845,6 +851,7 @@ def _retrieve_topk_block_packed(
         s, ids = packed_retrieve_pallas(
             index.packed, index.packed_rows, None, index.bucket_starts,
             index.n_rows, queries, q_buckets, core_k, per_table,
+            stage1_width=stage1_width,
         )
         if scale_free:
             return s * index.packed_gscale, ids

@@ -398,6 +398,7 @@ def slab_topk(
     n_rows: int,
     top_k: int,
     exact: bool = True,
+    stage1_width: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Two-stage dedup top-k over kernel dots: stage 1 keeps the best
     L*top_k lanes of the flattened [L*win] window set (duplicates
@@ -414,11 +415,20 @@ def slab_topk(
     costs the last 4e-4).  exact=True keeps the bit-stable sort form for
     parity tests.
 
+    stage1_width caps the stage-1 survivor count below the L*top_k
+    worst-case guarantee (every unique candidate duplicated in all L
+    tables).  Practical duplicate multiplicity is far lower: at the 2M
+    bench point, top-20 retrieval with stage1_width=96 measured the SAME
+    planted recall (0.9997) as the full 160 at 1.5x the q/s; 64 cost the
+    first 1e-3 and 48 collapsed to 0.949.
+
     -> (scores [q, top_k] descending, row ids [q, top_k], -1 pad)."""
     q, L, win = dots.shape
     n_pad = packed_rows.shape[1]
     flat = dots.reshape(q, L * win)
     m1 = min(L * top_k, L * win)
+    if stage1_width:
+        m1 = min(m1, max(stage1_width, top_k))
     if exact:
         s1, pos1 = jax.lax.top_k(flat, m1)             # [q, m1]
     else:
@@ -445,6 +455,7 @@ def packed_retrieve_pallas(
     q_tile: int = 16,
     interpret: bool = False,
     strict: bool = False,
+    stage1_width: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Pallas counterpart of packed_retrieve_core (cosine, unfiltered):
     same pseudo-random window offsets, same dedup top-k epilogue — the
@@ -481,7 +492,8 @@ def packed_retrieve_pallas(
         per_table=per_table, q_tile=q_tile, interpret=interpret,
         mask=strict,
     )
-    return slab_topk(dots, a0, packed_rows, n_rows, top_k, exact=strict)
+    return slab_topk(dots, a0, packed_rows, n_rows, top_k, exact=strict,
+                     stage1_width=stage1_width)
 
 
 def packed_retrieve_pallas_euclid(
