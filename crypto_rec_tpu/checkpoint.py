@@ -240,6 +240,7 @@ def load_sharded_index(prefix: str, mesh):
         packed_detailed=fields.get("packed_detailed"),
         packed_scale=fields.get("packed_scale"),
         packed_gscale=fields.get("packed_gscale"),
+        packed_aug_scale=fields.get("packed_aug_scale"),
     )
 
 

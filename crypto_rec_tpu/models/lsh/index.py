@@ -393,8 +393,9 @@ def pack_index(
     # sequential over tables AND row chunks: bounds the f32 gather
     # intermediate to one [chunk, d] (a whole [n, d] f32 temp at 10M rows
     # is 5.1 GB — three of those alongside the corpus + slabs would blow
-    # a 16 GB chip)
-    chunk = 1 << 20
+    # a 16 GB chip); clamped to the (512-aligned) table length so a small
+    # corpus doesn't pad up to a 1M-row chunk and gather 256x dead rows
+    chunk = min(1 << 20, -(-n // 512) * 512)
 
     # round the padded length to a 512 multiple: the packed retrieve path
     # gathers W-row ALIGNED blocks (W in {128, 256, 512} dividing n + pad),

@@ -44,6 +44,11 @@ from crypto_rec_tpu.utils.logging import get_logger
 
 log = get_logger(__name__)
 
+# engine="auto" switches from the dense [q, n] candidate mask to the CSR
+# engine when the mask would exceed this many elements (~256e6 ≈ 1 GB of
+# f32 scores); module-level so tests can lower it
+AUTO_MASK_MAX_ELEMS = 256e6
+
 
 @dataclasses.dataclass
 class PipelineResult:
@@ -100,14 +105,43 @@ def lsh_phase(
     engine = cfg.engine
     if engine == "auto":
         q_n = queries.ratings.shape[0] * index_set.ratings.shape[0]
-        engine = "csr" if q_n > 256e6 else "mask"
+        engine = "csr" if q_n > AUTO_MASK_MAX_ELEMS else "mask"
+        if engine == "csr":
+            log.info(
+                "engine=auto: dense mask would be %.0f MB, switching to the "
+                "csr engine (candidate_budget=%d); truncation is accounted "
+                "below", q_n * 4 / 2**20, cfg.candidate_budget,
+            )
     if engine == "csr":
-        from crypto_rec_tpu.models.lsh.index import candidate_ids
+        from crypto_rec_tpu.models.lsh.index import (
+            gather_candidate_ids, query_hashes,
+        )
         from crypto_rec_tpu.models.rec.engine import recommend_from_ids
 
-        ids = candidate_ids(
-            index, queries.ratings, budget=cfg.candidate_budget, filtered=True
+        q_buckets, q_detailed = query_hashes(index, queries.ratings)
+        ids, stats = gather_candidate_ids(
+            index.sorted_rows, index.bucket_starts, index.detailed,
+            index.n_rows, q_buckets, q_detailed,
+            budget=cfg.candidate_budget, with_stats=True,
         )
+        # the "no silent truncation" contract: the csr engine is an
+        # approximation of the reference's whole-bucket union
+        # (lsh_cube.hpp:77-106) — report how much the budget cut
+        n_over = int(jnp.sum(stats["budget_dropped"] > 0))
+        if n_over:
+            log.warning(
+                "csr engine truncated candidate unions for %d/%d queries "
+                "(max dropped %d rows; budget=%d) — results may diverge "
+                "from the reference's whole-bucket semantics",
+                n_over, ids.shape[0],
+                int(jnp.max(stats["budget_dropped"])), cfg.candidate_budget,
+            )
+        else:
+            log.info(
+                "csr engine: no candidate truncation (budget=%d, max union "
+                "%d rows)", cfg.candidate_budget,
+                int(jnp.max(stats["unique_candidates"])),
+            )
         return recommend_from_ids(
             queries, index_set, ids, top_p=top_p, top_n=top_n
         )

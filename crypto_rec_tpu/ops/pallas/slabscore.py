@@ -329,7 +329,7 @@ def slab_window_dots(
         in_specs=[
             pl.BlockSpec((q_tile, 3 * L), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((q_tile, d), lambda i: (i, 0)),
         ],
         out_specs=pl.BlockSpec((q_tile, L, win), lambda i: (i, 0, 0)),

@@ -74,8 +74,9 @@ class ShardedLshIndex:
     # true-sim approximations, comparable ACROSS shards at the all_gather
     # merge (each shard applies its own scalar before merging)
     packed_gscale: Optional[jax.Array] = None
-    # reserved for the augmented-euclidean layout (single-chip only today;
-    # pack_sharded_index does not emit it)
+    # augmented-euclidean layout: per-shard [S] dequant scale for the
+    # -|x|^2/2 norm column appended to each slab row; emitted by
+    # pack_sharded_index(augment=True) and consumed by sharded_retrieve_topk
     packed_aug_scale: Optional[jax.Array] = None
 
 

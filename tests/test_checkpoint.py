@@ -119,3 +119,41 @@ def test_sharded_index_roundtrip(tmp_path):
         mesh, idx2, queries, corpus_sh, budget=64, top_k=5, per_table=32)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+
+
+def test_sharded_augmented_roundtrip(tmp_path):
+    """Augmented-euclidean sharded slabs: packed_aug_scale must survive the
+    save/load round trip (round-3 bug: load_sharded_index dropped it, so a
+    restored index silently fell onto the non-augmented path)."""
+    from crypto_rec_tpu.checkpoint import save_sharded_index, load_sharded_index
+    from crypto_rec_tpu.parallel.mesh import make_mesh
+    from crypto_rec_tpu.parallel.sharded_index import (
+        build_sharded_index, pack_sharded_index, shard_corpus,
+        sharded_retrieve_topk,
+    )
+
+    mesh = make_mesh((1, 8), axis_names=("dp", "mp"))
+    n, d, q = 8 * 512, 32, 6
+    corpus = jnp.asarray(RNG.normal(size=(n, d)).astype(np.float32))
+    queries = jnp.asarray(RNG.normal(size=(q, d)).astype(np.float32))
+    corpus_sh = shard_corpus(mesh, corpus)
+    idx = build_sharded_index(
+        mesh, KEY, corpus_sh, "euclidean", k=3, L=3, euclidean_h_w=8.0)
+    idx = pack_sharded_index(
+        mesh, idx, corpus_sh, dtype=jnp.int8, pad=512, augment=True)
+    assert idx.packed_aug_scale is not None
+
+    prefix = str(tmp_path / "shaug")
+    save_sharded_index(prefix, idx)
+    idx2 = load_sharded_index(prefix, mesh)
+    assert idx2.packed_aug_scale is not None
+    np.testing.assert_allclose(
+        np.asarray(idx2.packed_aug_scale), np.asarray(idx.packed_aug_scale))
+    s1, i1 = sharded_retrieve_topk(
+        mesh, idx, queries, corpus_sh, budget=64, top_k=5, per_table=64,
+        pallas_interpret=True)
+    s2, i2 = sharded_retrieve_topk(
+        mesh, idx2, queries, corpus_sh, budget=64, top_k=5, per_table=64,
+        pallas_interpret=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)

@@ -53,26 +53,36 @@ def test_mask_vs_csr_parity():
 
 
 def test_auto_picks_csr_when_mask_large(monkeypatch):
+    """engine="auto" must switch to the csr engine once q*n exceeds the
+    mask-size threshold, and the csr result must match engine="csr" run
+    directly (same key => same index)."""
     calls = {}
     import crypto_rec_tpu.models.rec.pipeline as pl
     from crypto_rec_tpu.models.lsh import index as index_mod
 
-    real = index_mod.candidate_ids
+    real = index_mod.gather_candidate_ids
 
     def spy(*a, **kw):
         calls["csr"] = True
         return real(*a, **kw)
 
-    monkeypatch.setattr(index_mod, "candidate_ids", spy)
+    monkeypatch.setattr(index_mod, "gather_candidate_ids", spy)
+    # lower the threshold so this 600x600 case trips the auto switch
+    monkeypatch.setattr(pl, "AUTO_MASK_MAX_ELEMS", 600 * 600 - 1)
     users = _rating_set(jax.random.PRNGKey(1), 600, 8)
-    cfg = RecConfig(k=4, L=3, candidate_budget=64, use_pallas=False,
+    cfg = RecConfig(k=4, L=3, candidate_budget=600, use_pallas=False,
                     engine="auto")
-    # force the auto threshold down so this small case trips the csr path
-    monkeypatch.setattr(pl, "lsh_phase", pl.lsh_phase)
-    rec = pl.lsh_phase(jax.random.PRNGKey(2), users, users,
-                       cfg.replace(engine="csr"), top_n=3, top_p=8)
-    assert calls.get("csr")
+    rec = pl.lsh_phase(jax.random.PRNGKey(2), users, users, cfg,
+                       top_n=3, top_p=8)
+    assert calls.get("csr"), "auto did not route through the csr engine"
     assert np.asarray(rec.top_n).shape == (600, 3)
+    rec_csr = pl.lsh_phase(jax.random.PRNGKey(2), users, users,
+                           cfg.replace(engine="csr"), top_n=3, top_p=8)
+    has = np.asarray(rec.has_neighbors)
+    np.testing.assert_array_equal(has, np.asarray(rec_csr.has_neighbors))
+    np.testing.assert_array_equal(
+        np.asarray(rec.top_n)[has], np.asarray(rec_csr.top_n)[has]
+    )
 
 
 def test_fused_engine_matches_mask():
