@@ -13,7 +13,10 @@ that shrinks the approx_max_k input G-fold.  A true top-k row can only
 be lost if ALL its L window copies are shadowed by a strictly better row
 in their G-lane group — measured below via planted recall.
 
-Run: BENCH-style env knobs; defaults = the BENCH_r03 2M point.
+NOTE: every jitted stage takes the slab arrays as ARGUMENTS — a closure
+capture turns the 2 GB slabs into embedded XLA constants, and on this
+testbed's remote tunnel that serializes the whole index per compile
+(first probe attempt burned 20 minutes exactly that way).
 """
 
 from __future__ import annotations
@@ -49,11 +52,11 @@ K = int(os.environ.get("BENCH_LSH_K", 13))
 L = int(os.environ.get("BENCH_LSH_L", 8))
 PT = int(os.environ.get("BENCH_WINDOW", 488))
 TOPK = 10
+M1 = L * TOPK
 
 
 def timed(fn, reps=5):
-    out = None
-    times = []
+    out, times = None, []
     for _ in range(reps):
         del out
         t0 = time.perf_counter()
@@ -63,19 +66,61 @@ def timed(fn, reps=5):
     return float(np.median(times))
 
 
+@jax.jit
+def full_current(packed, packed_rows, s0, sizes, qv):
+    d_, a_ = slab_window_dots(packed, None, s0, sizes, qv,
+                              per_table=PT, mask=False)
+    return slab_topk(d_, a_, packed_rows, N, TOPK, exact=False)
+
+
+@jax.jit
+def stage1_approx(dots):
+    flat = dots.reshape(Q, -1)
+    return jax.lax.approx_max_k(flat, M1, recall_target=0.9)
+
+
+@functools.partial(jax.jit, static_argnames=("g",))
+def grouped(packed, packed_rows, s0, sizes, qv, g):
+    d_, a_ = slab_window_dots(packed, None, s0, sizes, qv,
+                              per_table=PT, mask=False)
+    q_, l_, w_ = d_.shape
+    gr = d_.reshape(q_, l_ * w_ // g, g)
+    gmax = jnp.max(gr, axis=2)
+    garg = jnp.argmax(gr, axis=2).astype(jnp.int32)
+    s1, gpos = jax.lax.approx_max_k(gmax, M1, recall_target=0.9)
+    lane_in = jnp.take_along_axis(garg, gpos, axis=1)
+    pos1 = gpos * g + lane_in              # lane in [L*win]
+    l_of = pos1 // w_
+    lane = pos1 % w_
+    a0_ = jnp.take_along_axis(a_, l_of, axis=1)
+    n_pad = packed_rows.shape[1]
+    gp = l_of * n_pad + jnp.minimum(a0_ + lane, n_pad - 1)
+    ids1 = packed_rows.reshape(-1)[gp]
+    ids1 = jnp.where(s1 > -jnp.inf, ids1, N)
+    return _dedup_topk_pairs(s1, ids1, N, TOPK)
+
+
 def main():
+    t00 = time.perf_counter()
+    print(f"devices: {jax.devices()}", flush=True)
     key = jax.random.PRNGKey(0)
     corpus, queries, true_idx = planted_clustered_corpus(key, N, D, Q, TOPK)
     corpus, queries = hard_sync(corpus), hard_sync(queries)
+    print(f"corpus built @{time.perf_counter()-t00:.0f}s", flush=True)
     index = build_index(jax.random.PRNGKey(1), corpus, "cosine", K, L,
                         lsh_bucket_div=4, euclidean_h_w=1.0)
     hard_sync(index.bucket_starts)
+    print(f"index built @{time.perf_counter()-t00:.0f}s", flush=True)
 
-    for dtype_name in ("int8", "bfloat16"):
+    dtypes = os.environ.get("PROBE_DTYPES", "int8,bfloat16").split(",")
+    pidx = None
+    for dtype_name in dtypes:
         dtype = {"int8": jnp.int8, "bfloat16": jnp.bfloat16}[dtype_name]
+        del pidx
         pidx = pack_index(index, corpus, dtype=dtype)
         hard_sync(jax.tree_util.tree_leaves(pidx))
-        gscale = pidx.packed_gscale
+        print(f"[{dtype_name}] packed @{time.perf_counter()-t00:.0f}s",
+              flush=True)
 
         q_buckets, _ = query_hashes(pidx, queries)
         l_idx = jnp.arange(L, dtype=jnp.int32)
@@ -90,79 +135,44 @@ def main():
         qv = queries / jnp.maximum(
             jnp.linalg.norm(queries, axis=1, keepdims=True), 1e-30)
 
-        # ---- stage A: kernel alone ----
-        @jax.jit
-        def kernel_only(s0, sizes, qv):
-            return slab_window_dots(
-                pidx.packed, None, s0, sizes, qv, per_table=PT, mask=False)
-
-        dots, a0 = kernel_only(s0, sizes, qv)
-        t_kernel = timed(lambda: kernel_only(s0, sizes, qv))
+        # ---- stage A: kernel alone (slab_window_dots is itself jitted) ----
+        dots, a0 = slab_window_dots(
+            pidx.packed, None, s0, sizes, qv, per_table=PT, mask=False)
+        t_kernel = timed(lambda: slab_window_dots(
+            pidx.packed, None, s0, sizes, qv, per_table=PT, mask=False))
         win = dots.shape[2]
         slab_gb = Q * L * win * D * jnp.dtype(dtype).itemsize / 1e9
         dots_gb = Q * L * win * 4 / 1e9
         print(f"[{dtype_name}] kernel dots [{Q},{L},{win}]: "
-              f"{t_kernel*1e3:.1f} ms  ({slab_gb:.1f} GB slabs read + "
-              f"{dots_gb:.1f} GB dots written -> "
-              f"{(slab_gb + dots_gb)/t_kernel:.0f} GB/s)")
+              f"{t_kernel*1e3:.1f} ms  ({slab_gb:.1f} GB slabs + "
+              f"{dots_gb:.1f} GB dots out -> "
+              f"{(slab_gb + dots_gb)/t_kernel:.0f} GB/s)", flush=True)
 
-        # ---- stage B: current epilogue (approx stage1 + dedup) ----
-        @jax.jit
-        def full_current(s0, sizes, qv):
-            d_, a_ = slab_window_dots(
-                pidx.packed, None, s0, sizes, qv, per_table=PT, mask=False)
-            return slab_topk(d_, a_, pidx.packed_rows, N, TOPK, exact=False)
-
-        s_cur, i_cur = full_current(s0, sizes, qv)
-        t_full = timed(lambda: full_current(s0, sizes, qv))
+        # ---- stage B: current full path ----
+        s_cur, i_cur = full_current(
+            pidx.packed, pidx.packed_rows, s0, sizes, qv)
+        t_full = timed(lambda: full_current(
+            pidx.packed, pidx.packed_rows, s0, sizes, qv))
         rec = float(recall_at_k(i_cur, true_idx))
         print(f"[{dtype_name}] current full: {t_full*1e3:.1f} ms "
               f"({Q/t_full:,.0f} q/s, recall {rec:.4f}) "
-              f"-> epilogue = {1e3*(t_full - t_kernel):.1f} ms")
+              f"-> epilogue = {1e3*(t_full - t_kernel):.1f} ms", flush=True)
 
-        # ---- stage B': epilogue stages in isolation (on resident dots) ----
-        m1 = L * TOPK
-
-        @jax.jit
-        def stage1_approx(dots):
-            flat = dots.reshape(Q, -1)
-            return jax.lax.approx_max_k(flat, m1, recall_target=0.9)
-
+        # ---- stage1 in isolation on resident dots ----
         t_s1 = timed(lambda: stage1_approx(dots))
         print(f"[{dtype_name}]   stage1 approx_max_k [{Q},{L*win}] -> "
-              f"{m1}: {t_s1*1e3:.1f} ms")
+              f"{M1}: {t_s1*1e3:.1f} ms", flush=True)
 
-        # ---- variant C: XLA group-max pre-reduce before approx_max_k ----
+        # ---- variant C: group-max pre-reduce ----
         for G in (8, 16, 32):
-            @functools.partial(jax.jit, static_argnames=("g",))
-            def grouped(s0, sizes, qv, g=G):
-                d_, a_ = slab_window_dots(
-                    pidx.packed, None, s0, sizes, qv, per_table=PT,
-                    mask=False)
-                q_, l_, w_ = d_.shape
-                gr = d_.reshape(q_, l_ * w_ // g, g)
-                gmax = jnp.max(gr, axis=2)
-                garg = jnp.argmax(gr, axis=2).astype(jnp.int32)
-                s1, gpos = jax.lax.approx_max_k(
-                    gmax, m1, recall_target=0.9)
-                lane_in = jnp.take_along_axis(garg, gpos, axis=1)
-                pos1 = gpos * g + lane_in          # lane in [L*win]
-                l_of = pos1 // w_
-                lane = pos1 % w_
-                a0_ = jnp.take_along_axis(a_, l_of, axis=1)
-                n_pad = pidx.packed_rows.shape[1]
-                gp = l_of * n_pad + jnp.minimum(a0_ + lane, n_pad - 1)
-                ids1 = pidx.packed_rows.reshape(-1)[gp]
-                ids1 = jnp.where(s1 > -jnp.inf, ids1, N)
-                return _dedup_topk_pairs(s1, ids1, N, TOPK)
-
-            sg, ig = grouped(s0, sizes, qv)
-            t_g = timed(lambda: grouped(s0, sizes, qv))
+            sg, ig = grouped(pidx.packed, pidx.packed_rows, s0, sizes, qv, G)
+            t_g = timed(lambda: grouped(
+                pidx.packed, pidx.packed_rows, s0, sizes, qv, G))
             rec_g = float(recall_at_k(ig, true_idx))
             print(f"[{dtype_name}]   group-max G={G}: {t_g*1e3:.1f} ms "
-                  f"({Q/t_g:,.0f} q/s, recall {rec_g:.4f})")
+                  f"({Q/t_g:,.0f} q/s, recall {rec_g:.4f})", flush=True)
 
-        del pidx, dots
+        del dots
     print("done")
 
 

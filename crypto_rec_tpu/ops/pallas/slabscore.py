@@ -400,31 +400,53 @@ def slab_topk(
     exact: bool = True,
     stage1_width: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Two-stage dedup top-k over kernel dots: stage 1 keeps the best
-    L*top_k lanes of the flattened [L*win] window set (duplicates
-    included), their row ids are gathered from packed_rows at just those
-    positions, stage 2 sort-dedups by id and re-selects top_k.
+    """Two-stage dedup top-k over kernel dots.
 
-    exact=False (production) runs stage 1 through jax.lax.approx_max_k
-    (recall_target 0.9): on TPU lax.top_k lowers to a full variadic sort
-    (~43 ms real at the 2M bench shapes — the whole-pipeline bottleneck,
-    probe_r3_approx.py) while approx_max_k is a partial reduction.  The
-    approximation only affects which near-tie lanes reach stage 2;
-    measured recall at the bench point was UNCHANGED at recall_target 0.9
-    (0.9997, probe_r3 rt sweep: rt 0.9 = rt 0.95 recall at +12% q/s; 0.8
-    costs the last 4e-4).  exact=True keeps the bit-stable sort form for
-    parity tests.
+    Stage 1 (exact=False, production) selects PER TABLE-WINDOW: an
+    approx_max_k of top_k lanes over each [win] row of the [q*L, win]
+    reshape.  Rows within one window are DISTINCT corpus rows (a row
+    appears once per table), so if >= top_k lanes beat a lane in its own
+    window, >= top_k distinct rows beat it globally — the union of
+    per-window top-k's provably contains the global dedup top-k, the same
+    worst-case guarantee as a flat L*top_k selection.  The per-table form
+    runs the selector on win-wide rows instead of L*win-wide ones
+    (probe_r4_batch.py, v5e 2M point: flat 162.4k -> per-table 173.9k q/s
+    at q=32768, recall identical at 0.9998).  Stage 2 gathers the
+    survivors' row ids from packed_rows and sort-dedups to the final
+    top_k.
 
-    stage1_width caps the stage-1 survivor count below the L*top_k
-    worst-case guarantee (every unique candidate duplicated in all L
-    tables).  Practical duplicate multiplicity is far lower: at the 2M
-    bench point, top-20 retrieval with stage1_width=96 measured the SAME
-    planted recall (0.9997) as the full 160 at 1.5x the q/s; 64 cost the
-    first 1e-3 and 48 collapsed to 0.949.
+    NOT viable instead (probe_r4_select.py): any segmented pre-max along
+    the CSR lane axis (group-max G=8/16/32) collapses recall 0.9997 ->
+    0.50/0.41/0.35 — near-ties are ADJACENT in their bucket's CSR run in
+    every table, so one group shadows all but one of them.  Co-location
+    of near neighbors is intrinsic to LSH layouts; don't revisit.
+
+    exact=True keeps the bit-stable flat lax.top_k sort form for parity
+    tests (on TPU it lowers to a full variadic sort, ~43 ms real at the
+    2M bench shapes — probe_r3_approx.py).
+
+    stage1_width (approx flat form only) caps the stage-1 survivor count
+    below the L*top_k worst-case guarantee; at the 2M bench point top-20
+    retrieval with stage1_width=96 measured the SAME planted recall as
+    the full 160 at 1.5x the q/s.  When set, the flat selector is used.
 
     -> (scores [q, top_k] descending, row ids [q, top_k], -1 pad)."""
     q, L, win = dots.shape
     n_pad = packed_rows.shape[1]
+    if not exact and not stage1_width:
+        # per-table stage 1 (see docstring guarantee)
+        kk = min(top_k, win)
+        rows = dots.reshape(q * L, win)
+        s1, lane = jax.lax.approx_max_k(rows, kk, recall_target=0.9)
+        s1 = s1.reshape(q, L * kk)
+        lane = lane.reshape(q, L, kk)
+        gpos = (
+            jnp.arange(L, dtype=jnp.int32)[None, :, None] * n_pad
+            + jnp.minimum(aligned_starts[:, :, None] + lane, n_pad - 1)
+        ).reshape(q, L * kk)
+        ids1 = packed_rows.reshape(-1)[gpos]
+        ids1 = jnp.where(s1 > -jnp.inf, ids1, n_rows)
+        return _dedup_topk_pairs(s1, ids1, n_rows, top_k)
     flat = dots.reshape(q, L * win)
     m1 = min(L * top_k, L * win)
     if stage1_width:
