@@ -225,6 +225,18 @@ def main() -> None:
         "1" if (dev.platform == "tpu" and METRIC == "cosine") else "0",
     ) == "1"
 
+    # HOST_ORACLE (auto at >4M rows): keep a host copy of the corpus and
+    # free the device f32 copy right after packing — the oracle streams
+    # from host, and the no-rerank retrieval paths never read the corpus.
+    # This is what unblocks L=6 at 10M (round-3's SCALE.md limitation was
+    # the bench harness keeping a 5.1 GB oracle corpus device-resident,
+    # not the chip).
+    HOST_ORACLE = os.environ.get(
+        "BENCH_HOST_ORACLE", "1" if N > 4_000_000 else "0") == "1"
+    corpus_host = None
+    if HOST_ORACLE:
+        corpus_host = np.asarray(jax.device_get(corpus))
+
     per_dtype = {}
     pidx = None
     for dtype_name in plan:
@@ -237,6 +249,12 @@ def main() -> None:
         pack_s = time.perf_counter() - t0
         gb = slab_bytes(jnp.dtype(pack_dtype).itemsize) / 1e9
         log(f"packed slabs ({gb:.1f} GB {dtype_name}) in {pack_s:.2f}s")
+        if HOST_ORACLE and dtype_name == plan[-1]:
+            # last pack done: free the device corpus (the scale-free
+            # retrieval paths never read it; rerank is off in this mode)
+            corpus.delete()
+            corpus = jnp.zeros((2, D), jnp.float32)
+            log("device corpus freed (host oracle mode)")
 
         kernel = "xla"
         # int8 runs the no-rerank mode: raw global-scale dots ranked and
@@ -501,12 +519,16 @@ def main() -> None:
         del pidx  # free the LSH slabs before packing the cube
         pidx = None
         CK = int(os.environ.get("BENCH_CUBE_K", max(8, K)))
-        # Probe sweep (round 3, 2M clustered): recall comes from WIDE
-        # windows over the near vertices, not from many probes — 32 probes
-        # x 4x-avg-bucket windows measured recall 0.949 at 8.3k q/s vs
-        # 0.787 at 6.5k for the old 64 x 2x point; halving the window
-        # collapsed recall to 0.43 even with 128 probes.
-        PROBES = int(os.environ.get("BENCH_CUBE_PROBES", 32))
+        # Probe frontier (probe_r4_cube.py, 2M clustered): recall needs
+        # BOTH wide windows and enough probes — 48 x 976 clears the
+        # BASELINE >= 0.95 bar (0.9624 at 40.1k q/s); 32 x 976 is the
+        # fast point (54.8k at 0.9474); window 1536 exceeds the kernel's
+        # VMEM scratch.  Both points are recorded: the >= 0.95 one is the
+        # cube headline, the fast one rides alongside.
+        PROBE_LIST = [
+            int(p) for p in os.environ.get(
+                "BENCH_CUBE_PROBES", "48,32").split(",")
+        ]
         c_pt = min(BUDGET, max(128, 4 * N // (1 << CK)))
         c_dtype = jnp.int8 if (N + 4096) * D * 2 > 6e9 else jnp.bfloat16
         t0 = time.perf_counter()
@@ -514,29 +536,47 @@ def main() -> None:
         cube = pack_cube(cube, corpus, dtype=c_dtype)
         hard_sync(jax.tree_util.tree_leaves(cube))
         cube_build_s = time.perf_counter() - t0
-        run = lambda: cube_retrieve_topk(
-            cube, queries, corpus, top_k=TOPK, probes=PROBES, per_probe=c_pt,
-            approx_stage1=True,
+        cube_points = []
+        for PROBES in PROBE_LIST:
+            run = lambda: cube_retrieve_topk(
+                cube, queries, corpus, top_k=TOPK, probes=PROBES,
+                per_probe=c_pt, approx_stage1=True,
+            )
+            hard_sync(run())
+            cube_s = timed(run, reps=5)
+            _cs, cids = run()
+            cube_recall = float(recall_at_k(cids, true_idx))
+            log(f"hypercube k={CK} probes={PROBES} window={c_pt}: "
+                f"{cube_s*1e3:.1f} ms -> {Q/cube_s:,.0f} q/s/chip "
+                f"(recall {cube_recall:.4f}, build+pack {cube_build_s:.1f}s)")
+            cube_points.append({
+                "k": CK, "probes": PROBES, "per_probe": c_pt,
+                "qps": round(Q / cube_s, 1), "recall": round(cube_recall, 4),
+                "dtype": jnp.dtype(c_dtype).name,
+            })
+        ok_pts = [p for p in cube_points if p["recall"] >= 0.95]
+        cube_stats = dict(
+            max(ok_pts, key=lambda p: p["qps"]) if ok_pts
+            else max(cube_points, key=lambda p: p["recall"])
         )
-        hard_sync(run())
-        cube_s = timed(run, reps=5)
-        _cs, cids = run()
-        cube_recall = float(recall_at_k(cids, true_idx))
-        log(f"hypercube k={CK} probes={PROBES} window={c_pt}: "
-            f"{cube_s*1e3:.1f} ms -> {Q/cube_s:,.0f} q/s/chip "
-            f"(recall {cube_recall:.4f}, build+pack {cube_build_s:.1f}s)")
-        cube_stats = {
-            "k": CK, "probes": PROBES, "per_probe": c_pt,
-            "qps": round(Q / cube_s, 1), "recall": round(cube_recall, 4),
-            "dtype": jnp.dtype(c_dtype).name,
-        }
+        cube_stats["points"] = cube_points
         del cube
 
     # ---- recall vs planted ground truth (+ exact-NN spot check) ----
+    # HOST_ORACLE (auto at >4M rows): the oracle corpus streams from host
+    # memory so the f32 [n, d] copy never sits next to the slabs — this is
+    # what unblocks L=6 at 10M (round-3's SCALE.md limitation was the
+    # bench harness, not the chip)
     t0 = time.perf_counter()
-    _d, oracle_idx = exact_nearest(
-        queries[:OQ], corpus, METRIC, TOPK, block_rows=64
-    )
+    if HOST_ORACLE:
+        from crypto_rec_tpu.ops.oracle import exact_nearest_streamed
+
+        _d, oracle_idx = exact_nearest_streamed(
+            queries[:OQ], corpus_host, METRIC, TOPK)
+    else:
+        _d, oracle_idx = exact_nearest(
+            queries[:OQ], corpus, METRIC, TOPK, block_rows=64
+        )
     hard_sync(oracle_idx)
     # spot check: the exact oracle must agree with the planted truth
     oracle_agree = float(recall_at_k(oracle_idx, true_idx[:OQ]))

@@ -47,6 +47,51 @@ def exact_nearest(
     )
 
 
+def exact_nearest_streamed(
+    queries: jax.Array,
+    index_host,          # numpy [n, d] on HOST — never fully device-resident
+    metric: str,
+    k: int,
+    corpus_block: int = 1 << 20,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact k-NN streaming the CORPUS from host memory block by block.
+
+    The oracle is a one-time verification, not the timed path — at 10M+
+    rows keeping a [n, d] f32 oracle corpus device-resident next to the
+    packed slabs is what blocked the L=6 10M configuration in round 3
+    (docs/SCALE.md).  This form holds only one [corpus_block, d] slice on
+    device at a time and maintains a running (dist, global idx) top-k.
+
+    -> (dists [q, k] ascending, idx [q, k]), identical to exact_nearest.
+    """
+    import numpy as np
+
+    q = queries.shape[0]
+    best_d = jnp.full((q, k), jnp.inf, jnp.float32)
+    best_i = jnp.full((q, k), -1, jnp.int32)
+
+    @functools.partial(jax.jit, static_argnames=("metric", "k"))
+    def step(queries, blk, base, best_d, best_i, metric, k):
+        d = pairwise_distances(queries, blk, metric)        # [q, B]
+        nd, ni = jax.lax.top_k(-d, min(k, d.shape[1]))
+        cand_d = jnp.concatenate([best_d, -nd], axis=1)
+        cand_i = jnp.concatenate([best_i, ni + base], axis=1)
+        nd2, pos = jax.lax.top_k(-cand_d, k)
+        return -nd2, jnp.take_along_axis(cand_i, pos, axis=1)
+
+    n = index_host.shape[0]
+    for s in range(0, n, corpus_block):
+        blk = jnp.asarray(
+            np.ascontiguousarray(index_host[s:s + corpus_block],
+                                 dtype=np.float32)
+        )
+        best_d, best_i = step(
+            queries, blk, jnp.int32(s), best_d, best_i, metric, k)
+        best_d.block_until_ready()
+        del blk
+    return best_d, best_i
+
+
 def recall_at_k(retrieved_idx: jax.Array, true_idx: jax.Array) -> jax.Array:
     """Mean fraction of true_idx [q, k] found in retrieved_idx [q, m].
 
