@@ -244,24 +244,27 @@ def main() -> None:
         del pidx
         pidx = None
         t0 = time.perf_counter()
-        pidx = pack_index(index, corpus, dtype=pack_dtype)
+        # euclidean main metric packs the AUGMENTED layout so retrieval
+        # rides the slab kernel (rank dot); cosine packs plain slabs
+        pidx = pack_index(index, corpus, dtype=pack_dtype,
+                          augment=(METRIC == "euclidean"))
         hard_sync(jax.tree_util.tree_leaves(pidx))
         pack_s = time.perf_counter() - t0
         gb = slab_bytes(jnp.dtype(pack_dtype).itemsize) / 1e9
         log(f"packed slabs ({gb:.1f} GB {dtype_name}) in {pack_s:.2f}s")
-        if HOST_ORACLE and dtype_name == plan[-1]:
-            # last pack done: free the device corpus (the scale-free
-            # retrieval paths never read it; rerank is off in this mode)
+        RERANK = os.environ.get("BENCH_INT8_RERANK", "0") == "1"
+        if HOST_ORACLE and dtype_name == plan[-1] and not RERANK:
+            # last pack done: free the device corpus (the scale-free /
+            # no-rerank retrieval paths never read it)
             corpus.delete()
             corpus = jnp.zeros((2, D), jnp.float32)
             log("device corpus freed (host oracle mode)")
 
         kernel = "xla"
-        # int8 runs the no-rerank mode: raw global-scale dots ranked and
-        # dequantized by the stored scalar — the exact-rerank gather cost
-        # ~31 ms/batch and the bench's planted-margin recall (measured
-        # right below) is unaffected (round-3 probes: 0.9997 either way)
-        RERANK = os.environ.get("BENCH_INT8_RERANK", "0") == "1"
+        # RERANK above: int8 default is the no-rerank mode — raw
+        # global-scale dots ranked and dequantized by the stored scalar;
+        # the exact-rerank gather cost ~31 ms/batch and the bench's
+        # planted-margin recall is unaffected (round-3 probes)
 
         def make_retrieve(qs):
             return lambda: retrieve_topk(

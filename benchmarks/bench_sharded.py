@@ -30,7 +30,16 @@ def main() -> None:
     ap.add_argument("--top-p", type=int, default=16)
     ap.add_argument("--cpu", action="store_true", default=False,
                     help="force the simulated CPU mesh (default when <2 real devices)")
+    ap.add_argument("--kernel-point", action="store_true", default=False,
+                    help="real-chip mode: measure the PACKED kernel sharded "
+                         "engine on a 1-device mesh vs the local kernel path "
+                         "at the 2M bench operating point — pins the "
+                         "shard_map + all_gather merge overhead as a "
+                         "measured constant (VERDICT r3 task 9)")
     args = ap.parse_args()
+    if args.kernel_point:
+        kernel_point()
+        return
 
     # The platform choice must land BEFORE the first backend initialization
     # (XLA reads --xla_force_host_platform_device_count at CPU client
@@ -109,6 +118,89 @@ def main() -> None:
     }
     print(json.dumps(out))
 
+
+def kernel_point() -> None:
+    """Real-chip comparison at the 2M operating point: local fused kernel
+    retrieval vs the sharded engine on a 1-device (dp=1, mp=1) mesh.
+
+    Single-chip mp=1 makes the shard_map body identical work to the local
+    path, so sharded_qps / local_qps isolates the shard_map + all_gather
+    merge machinery — the only multi-chip-adjacent perf constant this
+    1-chip testbed can measure."""
+    import time
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-bench")
+    from crypto_rec_tpu.io.synth import planted_clustered_corpus
+    from crypto_rec_tpu.models.lsh.index import (
+        build_index, pack_index, retrieve_topk_pallas,
+    )
+    from crypto_rec_tpu.ops.oracle import recall_at_k
+    from crypto_rec_tpu.parallel.mesh import make_mesh
+    from crypto_rec_tpu.parallel.sharded_index import (
+        build_sharded_index, pack_sharded_index, shard_corpus,
+        sharded_retrieve_topk,
+    )
+    from crypto_rec_tpu.utils.timing import hard_sync
+
+    N = int(os.environ.get("BENCH_N", 2_000_000))
+    D, Q, K, L, PT, TOPK = 128, 8192, 13, 8, 488, 10
+
+    def timed(fn, reps=5):
+        out, times = None, []
+        for _ in range(reps):
+            del out
+            t0 = time.perf_counter()
+            out = fn()
+            hard_sync(out)
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+    key = jax.random.PRNGKey(0)
+    corpus, queries, true_idx = planted_clustered_corpus(key, N, D, Q, TOPK)
+    corpus, queries = hard_sync(corpus), hard_sync(queries)
+
+    # local kernel path
+    idx = build_index(jax.random.PRNGKey(1), corpus, "cosine", K, L,
+                      lsh_bucket_div=4, euclidean_h_w=1.0)
+    pidx = pack_index(idx, corpus, dtype=jnp.int8)
+    hard_sync(jax.tree_util.tree_leaves(pidx))
+    run_local = lambda: retrieve_topk_pallas(
+        pidx, queries, corpus, top_k=TOPK, per_table=PT, int8_rerank=False)
+    hard_sync(run_local())
+    t_local = timed(run_local)
+    _s, lids = run_local()
+    local_rec = float(recall_at_k(lids, true_idx))
+    del pidx, idx
+
+    # sharded engine, 1-device mesh
+    mesh = make_mesh((1, 1), devices=jax.devices()[:1])
+    corpus_sh = shard_corpus(mesh, corpus)
+    sidx = build_sharded_index(
+        mesh, jax.random.PRNGKey(1), corpus_sh, "cosine", K, L)
+    sidx = pack_sharded_index(mesh, sidx, corpus_sh, dtype=jnp.int8)
+    hard_sync(jax.tree_util.tree_leaves(sidx))
+    run_sh = lambda: sharded_retrieve_topk(
+        mesh, sidx, queries, corpus_sh, budget=1024, top_k=TOPK,
+        per_table=PT, int8_rerank=False)
+    hard_sync(run_sh())
+    t_sh = timed(run_sh)
+    _ss, sids = run_sh()
+    sh_rec = float(recall_at_k(sids, true_idx))
+
+    out = {
+        "metric": "sharded_kernel_point",
+        "rows": N, "queries": Q, "platform": jax.devices()[0].platform,
+        "local_qps": round(Q / t_local, 1),
+        "local_recall": round(local_rec, 4),
+        "sharded_mp1_qps": round(Q / t_sh, 1),
+        "sharded_mp1_recall": round(sh_rec, 4),
+        "shard_map_overhead": round(t_sh / t_local, 3),
+    }
+    print(json.dumps(out))
 
 if __name__ == "__main__":
     main()

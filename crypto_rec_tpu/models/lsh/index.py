@@ -919,9 +919,14 @@ def _retrieve_topk_block_packed(
         q_buckets, q_detailed = query_hashes(index, queries)
         # the augmented rank's bf16/int8 band is ~0.4% of max|x|^2 —
         # oversample 2x and rescore the survivors exactly (a 2*top_k-row
-        # gather), which restores true -distance scores and exact order
-        core_k = 2 * top_k
-        _s, ids = packed_retrieve_pallas_euclid(
+        # gather), which restores true -distance scores and exact order.
+        # int8_rerank=False returns the kernel's dequantized rank scores
+        # directly (-sqrt(|q|^2 - 2*rank)) with NO corpus read — the mode
+        # the 10M host-oracle bench runs, where the f32 corpus is freed
+        # after packing (quantization can permute near-ties; recall is
+        # measured against the exact oracle either way)
+        core_k = 2 * top_k if int8_rerank else top_k
+        s_, ids = packed_retrieve_pallas_euclid(
             index.packed, index.packed_rows,
             index.packed_detailed if filtered else None,
             index.bucket_starts, index.n_rows, queries.shape[1],
@@ -930,6 +935,8 @@ def _retrieve_topk_block_packed(
             core_k, per_table,
             interpret=jax.default_backend() != "tpu",
         )
+        if not int8_rerank:
+            return s_, ids
         return rerank_exact(corpus, index.metric, queries, ids, top_k)
     # int8_rerank=False + global-scale slabs: rank the raw int8 dots and
     # dequant the SCORES with the stored scalar — no exact rerank (its

@@ -70,14 +70,12 @@ def exact_nearest_streamed(
     best_d = jnp.full((q, k), jnp.inf, jnp.float32)
     best_i = jnp.full((q, k), -1, jnp.int32)
 
-    @functools.partial(jax.jit, static_argnames=("metric", "k"))
-    def step(queries, blk, base, best_d, best_i, metric, k):
-        d = pairwise_distances(queries, blk, metric)        # [q, B]
-        nd, ni = jax.lax.top_k(-d, min(k, d.shape[1]))
-        cand_d = jnp.concatenate([best_d, -nd], axis=1)
-        cand_i = jnp.concatenate([best_i, ni + base], axis=1)
-        nd2, pos = jax.lax.top_k(-cand_d, k)
-        return -nd2, jnp.take_along_axis(cand_i, pos, axis=1)
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def merge(best_d, best_i, blk_d, blk_i, base, k):
+        cand_d = jnp.concatenate([best_d, blk_d], axis=1)
+        cand_i = jnp.concatenate([best_i, blk_i + base], axis=1)
+        nd, pos = jax.lax.top_k(-cand_d, k)
+        return -nd, jnp.take_along_axis(cand_i, pos, axis=1)
 
     n = index_host.shape[0]
     for s in range(0, n, corpus_block):
@@ -85,10 +83,14 @@ def exact_nearest_streamed(
             np.ascontiguousarray(index_host[s:s + corpus_block],
                                  dtype=np.float32)
         )
-        best_d, best_i = step(
-            queries, blk, jnp.int32(s), best_d, best_i, metric, k)
+        # exact_nearest streams QUERY blocks, so the wide top_k runs on
+        # [64, B] rows — the shape XLA's variadic sort handles well
+        blk_d, blk_i = exact_nearest(
+            queries, blk, metric, min(k, blk.shape[0]), block_rows=64)
+        best_d, best_i = merge(
+            best_d, best_i, blk_d, blk_i, jnp.int32(s), k)
         best_d.block_until_ready()
-        del blk
+        del blk, blk_d, blk_i
     return best_d, best_i
 
 

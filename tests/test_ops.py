@@ -83,3 +83,18 @@ def test_hamming_probe_order():
     assert masks == [0, 1, 2, 4, 3, 5, 6, 7]
     assert hamming_probe_order(3, 100).tolist() == [0, 1, 2, 4, 3, 5, 6, 7]
     assert hamming_probe_order(4, 3).tolist() == [0, 1, 2]
+
+
+def test_exact_nearest_streamed_matches_resident():
+    """exact_nearest_streamed (host-corpus oracle, round 4) must agree
+    with the device-resident oracle across block boundaries."""
+    from crypto_rec_tpu.ops.oracle import exact_nearest, exact_nearest_streamed
+
+    rng = np.random.default_rng(17)
+    x = rng.normal(size=(1000, 24)).astype(np.float32)
+    q = jnp.asarray(rng.normal(size=(33, 24)).astype(np.float32))
+    for metric in ("cosine", "euclidean"):
+        d1, i1 = exact_nearest(q, jnp.asarray(x), metric, 7, block_rows=16)
+        d2, i2 = exact_nearest_streamed(q, x, metric, 7, corpus_block=256)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
