@@ -233,9 +233,18 @@ def main() -> None:
     # not the chip).
     HOST_ORACLE = os.environ.get(
         "BENCH_HOST_ORACLE", "1" if N > 4_000_000 else "0") == "1"
+    RERANK = os.environ.get("BENCH_INT8_RERANK", "0") == "1"
     corpus_host = None
     if HOST_ORACLE:
         corpus_host = np.asarray(jax.device_get(corpus))
+        if not RERANK:
+            # free the device corpus BEFORE packing: the pack runs on the
+            # host copy (pack_index_host) and the scale-free / no-rerank
+            # retrieval paths never read the corpus — device peak becomes
+            # just the slabs, which is what lets L=6 fit at 10M
+            corpus.delete()
+            corpus = jnp.zeros((2, D), jnp.float32)
+            log("device corpus freed (host oracle mode)")
 
     per_dtype = {}
     pidx = None
@@ -246,19 +255,19 @@ def main() -> None:
         t0 = time.perf_counter()
         # euclidean main metric packs the AUGMENTED layout so retrieval
         # rides the slab kernel (rank dot); cosine packs plain slabs
-        pidx = pack_index(index, corpus, dtype=pack_dtype,
-                          augment=(METRIC == "euclidean"))
+        if HOST_ORACLE and not RERANK:
+            from crypto_rec_tpu.models.lsh.index import pack_index_host
+
+            pidx = pack_index_host(index, corpus_host, dtype=pack_dtype,
+                                   augment=(METRIC == "euclidean"))
+        else:
+            pidx = pack_index(index, corpus, dtype=pack_dtype,
+                              augment=(METRIC == "euclidean"))
         hard_sync(jax.tree_util.tree_leaves(pidx))
         pack_s = time.perf_counter() - t0
         gb = slab_bytes(jnp.dtype(pack_dtype).itemsize) / 1e9
-        log(f"packed slabs ({gb:.1f} GB {dtype_name}) in {pack_s:.2f}s")
-        RERANK = os.environ.get("BENCH_INT8_RERANK", "0") == "1"
-        if HOST_ORACLE and dtype_name == plan[-1] and not RERANK:
-            # last pack done: free the device corpus (the scale-free /
-            # no-rerank retrieval paths never read it)
-            corpus.delete()
-            corpus = jnp.zeros((2, D), jnp.float32)
-            log("device corpus freed (host oracle mode)")
+        log(f"packed slabs ({gb:.1f} GB {dtype_name}) in {pack_s:.2f}s"
+            + (" [host pack]" if HOST_ORACLE and not RERANK else ""))
 
         kernel = "xla"
         # RERANK above: int8 default is the no-rerank mode — raw

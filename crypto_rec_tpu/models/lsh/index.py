@@ -438,6 +438,108 @@ def pack_index(
     return dataclasses.replace(index, **kw)
 
 
+def pack_index_host(
+    index: LshIndex,
+    corpus_host,                  # numpy [n, d] f32 on HOST
+    dtype=jnp.int8,
+    pad: int = 4096,
+    augment: bool = False,
+) -> LshIndex:
+    """pack_index computed on the HOST, slabs uploaded table by table.
+
+    At 10M rows x L=6 the device cannot hold the f32 corpus AND the slab
+    copies during a device-side pack (round-4 OOM); here the gather /
+    normalize / quantize runs in numpy against a host corpus, the device
+    corpus can be freed BEFORE packing, and device peak memory is just the
+    finished slabs.  Global-scale layouts only (cosine, or euclidean
+    augmented) — identical math to pack_index's scale_mode="global"/"none",
+    so the retrieval paths cannot tell the layouts apart.
+    """
+    import numpy as np
+
+    L, n = index.sorted_rows.shape
+    d = corpus_host.shape[1]
+    quantized = jnp.issubdtype(jnp.dtype(dtype), jnp.integer)
+    if augment and index.metric != "euclidean":
+        raise ValueError("augment=True is the euclidean rank layout")
+    if not augment and index.metric != "cosine":
+        raise ValueError(
+            "pack_index_host covers global-scale layouts: cosine, or "
+            "euclidean with augment=True"
+        )
+    d_aug = -(-(d + 1) // 128) * 128 if augment else d
+    pad = -(n + pad) % 512 + pad
+    n_pad = n + pad
+
+    x = np.asarray(corpus_host, dtype=np.float32)
+    g_scale = aug_scale = None
+    if augment:
+        sq_all = np.einsum("nd,nd->n", x, x)
+        norm_half_max = float(sq_all.max()) / 2.0
+        if quantized:
+            g_scale = max(float(np.abs(x).max()), 1e-30) / 127.0
+            aug_scale = max(norm_half_max, 1e-30) / (127.0 * g_scale)
+        else:
+            aug_scale = 1.0
+    elif quantized:
+        norms = np.maximum(np.linalg.norm(x, axis=1), 1e-30)
+        amax = float((np.abs(x).max(axis=1) / norms).max())
+        g_scale = max(amax, 1e-30) / 127.0
+
+    import ml_dtypes
+
+    np_dtype = {jnp.int8: np.int8, jnp.float32: np.float32}.get(
+        dtype, ml_dtypes.bfloat16)
+    rows_host = np.asarray(jax.device_get(index.sorted_rows))
+    # upload table by table into a preallocated DONATED device buffer:
+    # one 10+ GB host->device transfer needs a contiguous device block
+    # that a freshly-used allocator may not have (measured OOM at 10M
+    # euclidean), while L transfers of slab/L bytes + in-place
+    # dynamic_update_slice peak at slabs + one table of staging
+    upd = jax.jit(
+        lambda buf, t, l: jax.lax.dynamic_update_slice(
+            buf, t[None].astype(buf.dtype), (l, 0, 0)),
+        donate_argnums=0,
+    )
+    packed = jnp.zeros((L, n_pad, d_aug), dtype)
+    for l in range(L):
+        g = x[rows_host[l]]                       # [n, d] f32
+        if index.metric == "cosine":
+            g = g / np.maximum(
+                np.linalg.norm(g, axis=1, keepdims=True), 1e-30)
+        tbl = np.zeros((n_pad, d_aug), np_dtype)
+        if augment:
+            sq = sq_all[rows_host[l]]
+            if quantized:
+                tbl[:n, :d] = np.clip(np.round(g / g_scale), -127, 127)
+                tbl[:n, d] = np.clip(
+                    np.round((-sq / 2.0) / (g_scale * aug_scale)), -127, 0)
+            else:
+                tbl[:n, :d] = g
+                tbl[:n, d] = (-sq / 2.0).astype(np_dtype)
+        else:
+            if quantized:
+                tbl[:n] = np.clip(np.round(g / g_scale), -127, 127)
+            else:
+                tbl[:n] = g
+        packed = upd(packed, jnp.asarray(tbl), jnp.int32(l))
+        packed.block_until_ready()
+        del g, tbl
+    packed_rows = jnp.asarray(np.pad(
+        rows_host, ((0, 0), (0, pad)), constant_values=n).astype(np.int32))
+    kw: dict = {"packed": packed, "packed_rows": packed_rows}
+    if quantized:
+        kw["packed_gscale"] = jnp.asarray(g_scale, jnp.float32)
+    if augment:
+        kw["packed_aug_scale"] = jnp.asarray(aug_scale, jnp.float32)
+        if index.detailed is not None:
+            det_host = np.asarray(jax.device_get(index.detailed))
+            pd = np.take_along_axis(det_host, rows_host, axis=1)
+            kw["packed_detailed"] = jnp.asarray(np.pad(
+                pd, ((0, 0), (0, pad))).astype(np.int32))
+    return dataclasses.replace(index, **kw)
+
+
 def query_hashes(index: LshIndex, queries: jax.Array) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Hash queries with the index's family ->
     (bucket_ids [q, L], detailed fingerprints [q, L] or None)."""

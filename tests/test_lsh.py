@@ -309,3 +309,51 @@ def test_candidate_ids_scored_requires_packed_cosine():
                       lsh_bucket_div=4, euclidean_h_w=1.0)
     with pytest.raises(ValueError):
         candidate_ids_scored(idx, x[:4], budget=16)
+
+
+def test_pack_index_host_matches_device():
+    """pack_index_host (round 4: host-side pack so 10M L=6 fits a chip)
+    must produce byte-identical slabs/scales to the device pack_index for
+    cosine int8/bf16 and augmented-euclidean int8."""
+    from crypto_rec_tpu.models.lsh.index import (
+        build_index, pack_index, pack_index_host,
+    )
+
+    rng = np.random.default_rng(44)
+    n, d = 1500, 32
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    xj = jnp.asarray(x)
+
+    idx_c = build_index(jax.random.PRNGKey(2), xj, "cosine", k=4, L=3,
+                        lsh_bucket_div=4, euclidean_h_w=1.0)
+    for dt in (jnp.int8, jnp.bfloat16):
+        a = pack_index(idx_c, xj, dtype=dt, pad=512)
+        b = pack_index_host(idx_c, x, dtype=dt, pad=512)
+        np.testing.assert_array_equal(
+            np.asarray(a.packed_rows), np.asarray(b.packed_rows))
+        if dt == jnp.int8:
+            np.testing.assert_allclose(
+                float(a.packed_gscale), float(b.packed_gscale), rtol=1e-6)
+            # int8 rounding can differ by 1 ulp at .5 boundaries between
+            # XLA and numpy round-half-to-even; allow that band
+            diff = np.abs(np.asarray(a.packed, np.int32)
+                          - np.asarray(b.packed, np.int32))
+            assert diff.max() <= 1
+        else:
+            np.testing.assert_allclose(
+                np.asarray(a.packed, np.float32),
+                np.asarray(b.packed, np.float32), atol=2e-2)
+
+    idx_e = build_index(jax.random.PRNGKey(3), xj, "euclidean", k=3, L=3,
+                        lsh_bucket_div=4, euclidean_h_w=6.0)
+    a = pack_index(idx_e, xj, dtype=jnp.int8, augment=True, pad=512)
+    b = pack_index_host(idx_e, x, dtype=jnp.int8, augment=True, pad=512)
+    np.testing.assert_allclose(
+        float(a.packed_aug_scale), float(b.packed_aug_scale), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(a.packed_gscale), float(b.packed_gscale), rtol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(a.packed_detailed), np.asarray(b.packed_detailed))
+    diff = np.abs(np.asarray(a.packed, np.int32)
+                  - np.asarray(b.packed, np.int32))
+    assert diff.max() <= 1
