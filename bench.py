@@ -406,44 +406,63 @@ def main() -> None:
             jnp.sum(n_known, axis=1), 1
         )
         nset = RatingSet(ratings=corpus, known=n_known, mean=n_mean)
-        q_known = jax.random.bernoulli(jax.random.PRNGKey(12), 0.6, (Q, D))
-        q_mean = jnp.sum(queries * q_known, axis=1) / jnp.maximum(
-            jnp.sum(q_known, axis=1), 1
-        )
-        qset = RatingSet(ratings=queries, known=q_known, mean=q_mean)
 
-        def run_cf():
-            # approx-sim int8 mode: CF weights tolerate ~1% quant noise.
-            # stage1_width=96 pins the FLAT stage-1 selector: for top-20
-            # the per-table form needs kk=20 per window, which measured
-            # ~2x slower than the flat 96-wide cap (round-4 smoke — the
-            # per-table win is a top-10 story, where kk=10 is cheap)
-            sims, nidx = retrieve_topk(
-                pidx, queries, corpus, top_k=TOP_P, per_table=PT,
-                int8_rerank=False, stage1_width=96,
+        def make_cf(qb):
+            qs = queries_all[:qb]
+            q_known = jax.random.bernoulli(
+                jax.random.PRNGKey(12), 0.6, (qb, D))
+            q_mean = jnp.sum(qs * q_known, axis=1) / jnp.maximum(
+                jnp.sum(q_known, axis=1), 1
             )
-            return recommend_topk_retrieved(qset, nset, sims, nidx, TOP_N)
+            qset = RatingSet(ratings=qs, known=q_known, mean=q_mean)
 
-        hard_sync(run_cf())
-        cf_s = timed(run_cf, reps=5)
-        cf_rec = run_cf()
-        # neighbor quality: the 10 planted twins are the true top
-        # neighbors of each query (they tie near sim 1.0, so top-1
-        # identity is arbitrary — measure set recall, not first-hit)
-        cf_recall = float(recall_at_k(
-            jnp.asarray(cf_rec.neighbor_idx)[:, :TOPK], true_idx
-        ))
-        log(f"CF end-to-end (top-{TOP_P} neighbors -> predict -> top-{TOP_N}): "
-            f"{cf_s*1e3:.1f} ms -> {Q/cf_s:,.0f} users/s/chip "
-            f"(neighbor recall@{TOPK} {cf_recall:.4f})")
+            def run_cf():
+                # approx-sim int8 mode: CF weights tolerate ~1% quant
+                # noise.  stage1_width=96 pins the FLAT stage-1 selector:
+                # for top-20 the per-table form needs kk=20 per window,
+                # which measured ~2x slower than the flat 96-wide cap
+                # (round-4 smoke — the per-table win is a top-10 story)
+                sims, nidx = retrieve_topk(
+                    pidx, qs, corpus, top_k=TOP_P, per_table=PT,
+                    int8_rerank=False, stage1_width=96,
+                )
+                return recommend_topk_retrieved(qset, nset, sims, nidx, TOP_N)
+
+            return run_cf
+
+        cf_curve = {}
+        cf_qps = 0.0
+        cf_recall = -1.0
+        for qb in QBATCH:
+            run_cf = make_cf(qb)
+            hard_sync(run_cf())
+            cf_s = timed(run_cf, reps=5)
+            cf_rec = run_cf()
+            # neighbor quality: the 10 planted twins are the true top
+            # neighbors of each query (they tie near sim 1.0, so top-1
+            # identity is arbitrary — measure set recall, not first-hit)
+            b_recall = float(recall_at_k(
+                jnp.asarray(cf_rec.neighbor_idx)[:, :TOPK],
+                true_idx_all[:qb],
+            ))
+            log(f"CF end-to-end q={qb} (top-{TOP_P} neighbors -> predict "
+                f"-> top-{TOP_N}): {cf_s*1e3:.1f} ms -> "
+                f"{qb/cf_s:,.0f} users/s/chip "
+                f"(neighbor recall@{TOPK} {b_recall:.4f})")
+            cf_curve[str(qb)] = {
+                "qps": round(qb / cf_s, 1), "recall": round(b_recall, 4),
+            }
+            if qb / cf_s > cf_qps:
+                cf_qps, cf_recall = qb / cf_s, b_recall
         cf_stats = {
-            "qps": round(Q / cf_s, 1),
+            "qps": round(cf_qps, 1),
             "top_p": TOP_P,
             "top_n": TOP_N,
             "neighbor_recall": round(cf_recall, 4),
             "via": "fused_retrieve+recommend_topk_retrieved",
+            "batch_curve": cf_curve,
         }
-        del nset, qset, n_known, q_known
+        del nset, n_known
 
     # ---- euclidean (p-stable) stage on the same corpus ----
     euc_stats = None

@@ -36,7 +36,12 @@ def hard_sync(out):
             x = leaf
             if jnp.issubdtype(x.dtype, jnp.bool_):
                 x = x.astype(jnp.int32)
-            scalars.append(jnp.max(x.ravel()[:1]))
+            # index ONE element (a zero-d slice) rather than
+            # ravel()[:1]: an eager ravel of a multi-dim array is a full
+            # layout-changing COPY on TPU — syncing a 10 GB slab tensor
+            # transiently doubled its memory and OOM'd the 10M euclidean
+            # pack (round 4)
+            scalars.append(jnp.max(x[(0,) * x.ndim]))
     if scalars:
         jax.device_get(scalars)
     return out
