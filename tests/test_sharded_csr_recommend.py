@@ -171,3 +171,46 @@ def test_sharded_recommend_scored_kernel_engine():
     # known cells keep their ratings
     np.testing.assert_allclose(np.asarray(pred)[qk], qr[qk], atol=1e-6)
     assert int(stats["budget_dropped"]) == 0
+
+
+def test_sharded_recommend_scored_int8_dequant():
+    """int8 shards: each shard's raw kernel dots are dequantized by ITS
+    gscale before the merge — neighbor identity must survive quantization
+    and cross-shard sims must stay comparable (planted twin first)."""
+    from crypto_rec_tpu.parallel.sharded_index import (
+        pack_sharded_index, sharded_recommend_scored,
+    )
+
+    mesh = make_mesh((1, 8))
+    n, c, q = 8 * 64, 128, 12
+    rng = np.random.default_rng(19)
+    nr, nk, nm = _ratings(n, c, seed=21)
+    target = rng.choice(n, size=q, replace=False)
+    qr = nr[target] + 1e-3 * rng.normal(size=(q, c)).astype(np.float32)
+    qk = np.asarray(np.random.default_rng(22).random((q, c)) < 0.6)
+    qm = ((qr * qk).sum(1) / np.maximum(qk.sum(1), 1)).astype(np.float32)
+
+    sharded = build_sharded_index(
+        mesh, KEY, shard_corpus(mesh, jnp.asarray(nr)), "cosine", 3, 4
+    )
+    sharded = pack_sharded_index(
+        mesh, sharded, shard_corpus(mesh, jnp.asarray(nr)),
+        dtype=jnp.int8, pad=512,
+    )
+    assert sharded.packed_gscale is not None
+    nm_sh = jax.device_put(
+        jnp.asarray(nm),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("mp")),
+    )
+    pred, top, has, sims, gids, _stats = sharded_recommend_scored(
+        mesh, sharded,
+        jnp.asarray(qr), jnp.asarray(qk), jnp.asarray(qm),
+        shard_corpus(mesh, jnp.asarray(nr)), nm_sh,
+        top_p=6, top_n=3, per_table=64, pallas_interpret=True,
+    )
+    g = np.asarray(gids)
+    assert (g[:, 0] == target).all()
+    s = np.asarray(sims)
+    # dequantized sims are ~cosine: twin sim near 1 within the int8 band
+    assert (np.abs(s[:, 0] - 1.0) < 0.05).all()
+    np.testing.assert_allclose(np.asarray(pred)[qk], qr[qk], atol=1e-6)
