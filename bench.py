@@ -269,7 +269,9 @@ def main() -> None:
         log(f"packed slabs ({gb:.1f} GB {dtype_name}) in {pack_s:.2f}s"
             + (" [host pack]" if HOST_ORACLE and not RERANK else ""))
 
-        kernel = "xla"
+        # euclidean main metric: the augmented pack routes retrieval
+        # through the euclid slab kernel inside retrieve_topk
+        kernel = "pallas_slabscore_aug" if METRIC == "euclidean" else "xla"
         # RERANK above: int8 default is the no-rerank mode — raw
         # global-scale dots ranked and dequantized by the stored scalar;
         # the exact-rerank gather cost ~31 ms/batch and the bench's
