@@ -209,7 +209,8 @@ def main() -> None:
     # copies turn the fused path's random row gather into contiguous
     # aligned-block DMAs.  Costs L extra corpus copies, so the dtype plan is
     # gated on HBM: bf16 up to ~6 GiB of slabs, int8 at half that.
-    slab_bytes = lambda itemsize: L * (N + 4096) * D * itemsize
+    D_SLAB = -(-(D + 1) // 128) * 128 if METRIC == "euclidean" else D
+    slab_bytes = lambda itemsize: L * (N + 4096) * D_SLAB * itemsize
     plan_env = os.environ.get("BENCH_PACK_DTYPE", "")
     if plan_env in ("bfloat16", "int8", "none"):
         plan = [] if plan_env == "none" else [plan_env]
