@@ -721,10 +721,10 @@ def candidate_ids_scored(
     ).reshape(q, L * kk)
     ids1 = index.packed_rows.reshape(-1)[gpos]
     ids1 = jnp.where(s1 > -jnp.inf, ids1, n)
-    # dedup: sort by id, first-occurrence mask, then score-rank to budget
-    order = jnp.argsort(ids1, axis=1)
-    ids_s = jnp.take_along_axis(ids1, order, axis=1)
-    sc_s = jnp.take_along_axis(s1, order, axis=1)
+    # dedup: sort by id (score rides the sort as a payload operand — no
+    # take_along_axis gathers, see slabscore._dedup_topk_pairs), then
+    # first-occurrence mask and score-rank to budget
+    ids_s, sc_s = jax.lax.sort((ids1, s1), num_keys=1)
     dup = jnp.concatenate(
         [jnp.zeros((q, 1), bool), ids_s[:, 1:] == ids_s[:, :-1]], axis=1
     )
@@ -1263,9 +1263,9 @@ def packed_retrieve_core(
     else:
         s1, pos1 = jax.lax.top_k(score, m1)                 # [q, m1]
     ids1 = jnp.take_along_axis(safe, pos1, axis=1)
-    order = jnp.argsort(ids1, axis=1)
-    ids_sorted = jnp.take_along_axis(ids1, order, axis=1)
-    s_sorted = jnp.take_along_axis(s1, order, axis=1)
+    # payload sort instead of argsort + gathers (TPU gathers ~100M
+    # elem/s dominated this stage — probe_r4_epilogue.py)
+    ids_sorted, s_sorted = jax.lax.sort((ids1, s1), num_keys=1)
     dup = jnp.concatenate(
         [jnp.zeros((q, 1), bool), ids_sorted[:, 1:] == ids_sorted[:, :-1]],
         axis=1,

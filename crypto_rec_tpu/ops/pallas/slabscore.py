@@ -383,13 +383,16 @@ def _dedup_topk_pairs(
     top_k: int,
 ) -> Tuple[jax.Array, jax.Array]:
     """Sort-dedup (score, id) pairs by id and re-select top_k — the same
-    stage-2 epilogue as packed_retrieve_core."""
+    stage-2 epilogue as packed_retrieve_core.
+
+    One multi-operand lax.sort carries the score payload THROUGH the id
+    sort instead of argsort + take_along_axis: TPU random gathers run at
+    ~100M elem/s, and the three [q, m] payload gathers were the single
+    largest term of the 32k-batch epilogue (probe_r4_epilogue.py: dedup
+    stage 66.5 ms before, ids-gather 25 ms — the pipeline is
+    gather-bound, not sort-bound)."""
     q = scores.shape[0]
-    safe = jnp.minimum(ids, n_rows - 1)
-    order = jnp.argsort(ids, axis=1)
-    ids_sorted = jnp.take_along_axis(safe, order, axis=1)
-    raw_sorted = jnp.take_along_axis(ids, order, axis=1)
-    s_sorted = jnp.take_along_axis(scores, order, axis=1)
+    raw_sorted, s_sorted = jax.lax.sort((ids, scores), num_keys=1)
     dup = jnp.concatenate(
         [jnp.zeros((q, 1), bool), raw_sorted[:, 1:] == raw_sorted[:, :-1]],
         axis=1,
@@ -399,6 +402,7 @@ def _dedup_topk_pairs(
         -jnp.inf, s_sorted,
     )
     s2, pos2 = jax.lax.top_k(s_sorted, top_k)
+    ids_sorted = jnp.minimum(raw_sorted, n_rows - 1)
     out_ids = jnp.where(
         s2 > -jnp.inf, jnp.take_along_axis(ids_sorted, pos2, axis=1), -1
     )

@@ -89,9 +89,9 @@ def _return_and_merge(neg_vals, gids, slots, valid, S, cap, k, q_loc):
     all_vals = all_vals[:q_loc].reshape(q_loc, S * k)
     all_gids = all_gids[:q_loc].reshape(q_loc, S * k)
 
-    order = jnp.argsort(all_gids, axis=1)
-    g_sorted = jnp.take_along_axis(all_gids, order, axis=1)
-    v_sorted = jnp.take_along_axis(all_vals, order, axis=1)
+    # payload sort instead of argsort + gathers (TPU gathers ~100M
+    # elem/s — see slabscore._dedup_topk_pairs)
+    g_sorted, v_sorted = jax.lax.sort((all_gids, all_vals), num_keys=1)
     dup = jnp.concatenate(
         [
             jnp.zeros((q_loc, 1), bool),
