@@ -602,7 +602,13 @@ def main() -> None:
     # what unblocks L=6 at 10M (round-3's SCALE.md limitation was the
     # bench harness, not the chip)
     t0 = time.perf_counter()
-    if HOST_ORACLE:
+    # BENCH_SKIP_ORACLE=1: skip the exact-NN spot check (planted truth is
+    # exact ground truth by construction; the oracle has agreed 1.0000
+    # with it in every recorded run, and the streamed 10M check costs
+    # ~28 min of tunnel uploads) — oracle_agreement reports -1
+    if os.environ.get("BENCH_SKIP_ORACLE", "0") == "1":
+        oracle_idx = None
+    elif HOST_ORACLE:
         from crypto_rec_tpu.ops.oracle import exact_nearest_streamed
 
         _d, oracle_idx = exact_nearest_streamed(
@@ -611,11 +617,15 @@ def main() -> None:
         _d, oracle_idx = exact_nearest(
             queries[:OQ], corpus, METRIC, TOPK, block_rows=64
         )
-    hard_sync(oracle_idx)
-    # spot check: the exact oracle must agree with the planted truth
-    oracle_agree = float(recall_at_k(oracle_idx, true_idx[:OQ]))
-    log(f"exact oracle over {OQ} x {N}: {time.perf_counter() - t0:.1f}s "
-        f"(agreement with planted truth: {oracle_agree:.4f})")
+    if oracle_idx is None:
+        oracle_agree = -1.0
+        log("exact oracle SKIPPED (BENCH_SKIP_ORACLE=1)")
+    else:
+        hard_sync(oracle_idx)
+        # spot check: the exact oracle must agree with the planted truth
+        oracle_agree = float(recall_at_k(oracle_idx, true_idx[:OQ]))
+        log(f"exact oracle over {OQ} x {N}: {time.perf_counter() - t0:.1f}s "
+            f"(agreement with planted truth: {oracle_agree:.4f})")
     log(f"candidate-set recall@{TOPK} = {recall:.4f} (budget={BUDGET}); "
         f"fused top-{TOPK} recall = {fused_recall:.4f}")
 
