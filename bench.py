@@ -236,16 +236,33 @@ def main() -> None:
         "BENCH_HOST_ORACLE", "1" if N > 4_000_000 else "0") == "1"
     RERANK = os.environ.get("BENCH_INT8_RERANK", "0") == "1"
     corpus_host = None
+    corpus_freed = False
     if HOST_ORACLE:
         corpus_host = np.asarray(jax.device_get(corpus))
         if not RERANK:
             # free the device corpus BEFORE packing: the pack runs on the
             # host copy (pack_index_host) and the scale-free / no-rerank
             # retrieval paths never read the corpus — device peak becomes
-            # just the slabs, which is what lets L=6 fit at 10M
+            # just the slabs, which is what lets L=6 fit at 10M.  The
+            # zeros array is a trace-only stand-in for the packed
+            # no-rerank calls; any stage that actually SCORES against the
+            # corpus must go through need_corpus() below (ADVICE r4: the
+            # dummy silently produced wrong recall in forced stages).
             corpus.delete()
             corpus = jnp.zeros((2, D), jnp.float32)
+            corpus_freed = True
             log("device corpus freed (host oracle mode)")
+
+    def need_corpus(stage):
+        """Re-upload the real corpus if host-oracle mode freed it; stages
+        that read corpus rows call this instead of trusting the stand-in."""
+        nonlocal corpus, corpus_freed
+        if corpus_freed:
+            log(f"{stage}: re-uploading {N}x{D} corpus from host "
+                f"(device copy was freed in host-oracle mode)")
+            corpus = hard_sync(jnp.asarray(corpus_host))
+            corpus_freed = False
+        return corpus
 
     per_dtype = {}
     pidx = None
@@ -345,6 +362,7 @@ def main() -> None:
         )
     else:
         head_name = "unpacked"
+        need_corpus("unpacked fused fallback")
         score_corpus = corpus.astype(jnp.bfloat16) if BF16 else corpus
         score_corpus = hard_sync(score_corpus)
         hard_sync(retrieve_topk(index, queries, score_corpus, top_k=TOPK, per_table=PT))
@@ -403,6 +421,7 @@ def main() -> None:
             RatingSet, recommend_topk_retrieved,
         )
         TOP_P, TOP_N = 20, 5
+        need_corpus("CF stage")
         kq = jax.random.PRNGKey(11)
         n_known = jax.random.bernoulli(kq, 0.6, (N, D))
         n_mean = jnp.sum(corpus * n_known, axis=1) / jnp.maximum(
@@ -472,6 +491,7 @@ def main() -> None:
     if os.environ.get("BENCH_EUCLIDEAN", "1" if secondary_ok else "0") == "1":
         del pidx  # free the cosine slabs before packing euclidean tables
         pidx = None
+        need_corpus("euclidean stage")
         # defaults from the round-3 augmented sweep: L=10/w=10/window 768
         # measured recall 0.9986 at 32.3k q/s vs the L=16 XLA path's
         # 0.9997 at 14.3k (L=16 augmented slabs OOM a 16 GB chip at 2M)
@@ -552,6 +572,7 @@ def main() -> None:
 
         del pidx  # free the LSH slabs before packing the cube
         pidx = None
+        need_corpus("hypercube stage")
         CK = int(os.environ.get("BENCH_CUBE_K", max(8, K)))
         # Probe frontier (probe_r4_cube.py, 2M clustered): recall needs
         # BOTH wide windows and enough probes — 48 x 976 clears the

@@ -61,6 +61,10 @@ class RecConfig:
     #            table) is the recall tradeoff;
     #   "auto" — csr when the mask would exceed ~256 MB, else mask.
     engine: str = "auto"
+    # Slab dtype for the fused engine's packed index ("float32" at
+    # reference scale; "bfloat16"/"int8" halve/quarter slab HBM at large
+    # user counts — recall tradeoffs measured in BENCH_r0*.json).
+    pack_dtype: str = "float32"
 
     def replace(self, **kw) -> "RecConfig":
         return dataclasses.replace(self, **kw)

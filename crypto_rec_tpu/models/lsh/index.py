@@ -486,10 +486,23 @@ def pack_index_host(
         amax = float((np.abs(x).max(axis=1) / norms).max())
         g_scale = max(amax, 1e-30) / 127.0
 
-    import ml_dtypes
+    # Normalize the dtype (np.int8 / jnp.int8 / "int8" are all the same
+    # dtype) and pick the host staging dtype explicitly — a silent bf16
+    # fallback would be lossy for any wider future dtype (ADVICE r4).
+    dt = jnp.dtype(dtype)
+    if dt == jnp.dtype(jnp.int8):
+        np_dtype = np.int8
+    elif dt == jnp.dtype(jnp.float32):
+        np_dtype = np.float32
+    elif dt == jnp.dtype(jnp.bfloat16):
+        import ml_dtypes
 
-    np_dtype = {jnp.int8: np.int8, jnp.float32: np.float32}.get(
-        dtype, ml_dtypes.bfloat16)
+        np_dtype = ml_dtypes.bfloat16
+    else:
+        raise ValueError(
+            f"pack_index_host supports int8 | bfloat16 | float32 slabs, "
+            f"got {dt.name}"
+        )
     rows_host = np.asarray(jax.device_get(index.sorted_rows))
     # upload table by table into a preallocated DONATED device buffer:
     # one 10+ GB host->device transfer needs a contiguous device block
@@ -739,13 +752,16 @@ def candidate_ids_scored(
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("budget", "filtered", "per_table"))
+@functools.partial(
+    jax.jit, static_argnames=("budget", "filtered", "per_table", "with_stats")
+)
 def candidate_ids(
     index: LshIndex,
     queries: jax.Array,
     budget: int,
     filtered: bool = True,
     per_table: int = 0,
+    with_stats: bool = False,
 ) -> jax.Array:
     """CSR fixed-budget retrieval: [q, d] -> [q, budget] row ids (-1 pad).
 
@@ -764,6 +780,7 @@ def candidate_ids(
         index.sorted_rows, index.bucket_starts,
         index.detailed if filtered else None,
         index.n_rows, q_buckets, q_detailed, budget, per_table,
+        with_stats=with_stats,
     )
 
 

@@ -79,6 +79,7 @@ def lsh_phase(
     cfg: RecConfig,
     top_n: int,
     top_p: int,
+    index_cache: Optional[dict] = None,
 ):
     """One cosine-LSH recommendation phase (build + batched query).
 
@@ -89,19 +90,31 @@ def lsh_phase(
     O(q*n) memory, which is what lets the faithful main.cpp pipeline run at
     user counts the dense mask cannot hold.  "auto" switches to csr when
     the mask would exceed ~256 MB.
+
+    index_cache (optional dict) memoizes the built index — and, for the
+    fused engine, the packed slabs — keyed by (key, id(index_set)): a
+    serving loop (or a pipeline run whose phases share an index set) builds
+    and packs exactly once per distinct index.
     """
     from crypto_rec_tpu.models.lsh.index import resolve_use_pallas
 
-    index = build_index(
-        key,
-        index_set.ratings,
-        "cosine",
-        cfg.k,
-        cfg.L,
-        cfg.lsh_bucket_div,
-        cfg.euclidean_h_w,
-        use_pallas=resolve_use_pallas(cfg.use_pallas),
-    )
+    cache_key = (np.asarray(key).tobytes(), id(index_set))
+    cached = index_cache.get(cache_key) if index_cache is not None else None
+    if cached is not None:
+        index = cached
+    else:
+        index = build_index(
+            key,
+            index_set.ratings,
+            "cosine",
+            cfg.k,
+            cfg.L,
+            cfg.lsh_bucket_div,
+            cfg.euclidean_h_w,
+            use_pallas=resolve_use_pallas(cfg.use_pallas),
+        )
+        if index_cache is not None:
+            index_cache[cache_key] = index
     engine = cfg.engine
     if engine == "auto":
         q_n = queries.ratings.shape[0] * index_set.ratings.shape[0]
@@ -113,35 +126,44 @@ def lsh_phase(
                 "below", q_n * 4 / 2**20, cfg.candidate_budget,
             )
     if engine == "csr":
-        from crypto_rec_tpu.models.lsh.index import (
-            gather_candidate_ids, query_hashes,
-        )
+        from crypto_rec_tpu.models.lsh.index import candidate_ids
         from crypto_rec_tpu.models.rec.engine import recommend_from_ids
 
-        q_buckets, q_detailed = query_hashes(index, queries.ratings)
-        ids, stats = gather_candidate_ids(
-            index.sorted_rows, index.bucket_starts, index.detailed,
-            index.n_rows, q_buckets, q_detailed,
-            budget=cfg.candidate_budget, with_stats=True,
+        # One compiled computation (hash + gather + dedup under jit); the
+        # truncation-accounting host sync only happens when the log level
+        # would actually print it (ADVICE r4: no blocking transfers on the
+        # serving path for logging that gets thrown away).
+        import logging as _logging
+
+        log_stats = log.isEnabledFor(_logging.INFO)
+        res = candidate_ids(
+            index, queries.ratings, budget=cfg.candidate_budget,
+            with_stats=log_stats,
         )
-        # the "no silent truncation" contract: the csr engine is an
-        # approximation of the reference's whole-bucket union
-        # (lsh_cube.hpp:77-106) — report how much the budget cut
-        n_over = int(jnp.sum(stats["budget_dropped"] > 0))
-        if n_over:
-            log.warning(
-                "csr engine truncated candidate unions for %d/%d queries "
-                "(max dropped %d rows; budget=%d) — results may diverge "
-                "from the reference's whole-bucket semantics",
-                n_over, ids.shape[0],
-                int(jnp.max(stats["budget_dropped"])), cfg.candidate_budget,
-            )
+        if log_stats:
+            ids, stats = res
+            # the "no silent truncation" contract: the csr engine is an
+            # approximation of the reference's whole-bucket union
+            # (lsh_cube.hpp:77-106) — report how much the budget cut.
+            # One device_get for all three scalars (single host sync).
+            dropped, uniq = jax.device_get(
+                (stats["budget_dropped"], stats["unique_candidates"]))
+            n_over = int((dropped > 0).sum())
+            if n_over:
+                log.warning(
+                    "csr engine truncated candidate unions for %d/%d queries "
+                    "(max dropped %d rows; budget=%d) — results may diverge "
+                    "from the reference's whole-bucket semantics",
+                    n_over, ids.shape[0],
+                    int(dropped.max()), cfg.candidate_budget,
+                )
+            else:
+                log.info(
+                    "csr engine: no candidate truncation (budget=%d, max "
+                    "union %d rows)", cfg.candidate_budget, int(uniq.max()),
+                )
         else:
-            log.info(
-                "csr engine: no candidate truncation (budget=%d, max union "
-                "%d rows)", cfg.candidate_budget,
-                int(jnp.max(stats["unique_candidates"])),
-            )
+            ids = res
         return recommend_from_ids(
             queries, index_set, ids, top_p=top_p, top_n=top_n
         )
@@ -154,9 +176,13 @@ def lsh_phase(
         from crypto_rec_tpu.models.lsh.index import pack_index, retrieve_topk
         from crypto_rec_tpu.models.rec.engine import recommend_topk_retrieved
 
-        pidx = pack_index(index, index_set.ratings, dtype=jnp.float32)
+        pack_dtype = jnp.dtype(cfg.pack_dtype)
+        if index.packed is None or index.packed.dtype != pack_dtype:
+            index = pack_index(index, index_set.ratings, dtype=pack_dtype)
+            if index_cache is not None:
+                index_cache[cache_key] = index  # cache WITH the slabs
         sims, nidx = retrieve_topk(
-            pidx, queries.ratings, index_set.ratings, top_k=top_p,
+            index, queries.ratings, index_set.ratings, top_k=top_p,
             per_table=cfg.candidate_budget,
         )
         return recommend_topk_retrieved(queries, index_set, sims, nidx, top_n)
@@ -291,10 +317,12 @@ def run_pipeline(
     fake = RatingSet.from_user_matrix(fake_users)
 
     mae = None
+    index_cache: dict = {}  # one build+pack per distinct (key, index set)
     with open(output_file, "w", encoding="utf-8") as out:
         # ---- Phase A: cosine LSH, real users (main.cpp:149-185) ----
         with timer.phase("lsh_A"):
-            rec_a = lsh_phase(phase_key(1), real, real, cfg, top_n=5, top_p=top_p)
+            rec_a = lsh_phase(phase_key(1), real, real, cfg, top_n=5,
+                              top_p=top_p, index_cache=index_cache)
             jax.block_until_ready(rec_a.top_n)
         _write_phase(out, "Cosine LSH", users.ids, rec_a, coins, timer, "lsh_A")
 
@@ -308,7 +336,8 @@ def run_pipeline(
 
         # ---- Phase B: cosine LSH, virtual-user index (main.cpp:195-230) ----
         with timer.phase("lsh_B"):
-            rec_b = lsh_phase(phase_key(2), real, fake, cfg, top_n=2, top_p=top_p)
+            rec_b = lsh_phase(phase_key(2), real, fake, cfg, top_n=2,
+                              top_p=top_p, index_cache=index_cache)
             jax.block_until_ready(rec_b.top_n)
         _write_phase(out, "Cosine LSH", users.ids, rec_b, coins, timer, "lsh_B")
 

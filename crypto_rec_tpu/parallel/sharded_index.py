@@ -749,9 +749,14 @@ def sharded_recommend_scored(
     the reference-semantics path.
 
     Returns (predicted [q, c], top_n [q, top_n], has_neighbors [q],
-    sims [q, top_p], global neighbor ids [q, top_p], stats) — the same
-    contract as sharded_recommend_csr; stats carries window_dropped only
-    (the scored engine has no budget stage to drop candidates).
+    sims [q, top_p], global neighbor ids [q, top_p], stats).  The array
+    outputs match sharded_recommend_csr; the stats dict does NOT — the csr
+    engine reports per-query int32 vectors, while this engine's windows are
+    not per-query attributable after the kernel, so its keys are scalar
+    TOTALS summed over all queries and tables and are named *_total:
+      scanned_total        — slab rows the kernel scored;
+      window_dropped_total — bucket members beyond the per-table window.
+    (No budget stage exists here, so nothing analogous to budget_dropped.)
     """
     from crypto_rec_tpu.ops.pallas.slabscore import (
         slab_window_dots, slab_topk,
@@ -797,10 +802,9 @@ def sharded_recommend_scored(
             loc_vals = loc_vals * gsc[0]
         loc_idx = jnp.maximum(loc_idx, 0)
         stats = {
-            "unique_candidates": jax.lax.psum(
+            "scanned_total": jax.lax.psum(
                 jnp.sum(jnp.minimum(size, per_table)), "mp"),
-            "budget_dropped": jnp.int32(0),
-            "window_dropped": jax.lax.psum(
+            "window_dropped_total": jax.lax.psum(
                 jnp.sum(jnp.maximum(size - per_table, 0)), "mp"),
         }
         return _cf_merge_predict(
@@ -816,9 +820,7 @@ def sharded_recommend_scored(
         P("mp", None, None, None), P("mp", None, None),
         P("mp", None, None), P("mp"), P("mp", None), P("mp"),
     )
-    stats_spec = {
-        "unique_candidates": P(), "budget_dropped": P(), "window_dropped": P()
-    }
+    stats_spec = {"scanned_total": P(), "window_dropped_total": P()}
     return jax.shard_map(
         body, mesh=mesh, in_specs=in_specs,
         out_specs=(P(None, None),) * 2 + (P(None),) + (P(None, None),) * 2
