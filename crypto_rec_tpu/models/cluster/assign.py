@@ -25,10 +25,13 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from crypto_rec_tpu.ops.distances import pairwise_distances
 
-UNASSIGNED = jnp.int32(-1)
+# numpy scalar, NOT jnp: module-level jnp constants initialize the XLA
+# backend at import, breaking jax.distributed.initialize (multi-host)
+UNASSIGNED = np.int32(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("metric",))

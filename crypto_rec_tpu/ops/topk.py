@@ -13,8 +13,12 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NEG_INF = jnp.float32(-jnp.inf)
+# numpy scalar, NOT jnp: a module-level jnp constant would initialize the
+# XLA backend at import time, which breaks jax.distributed.initialize in
+# multi-host processes (it must run before any backend init)
+NEG_INF = np.float32(-np.inf)
 
 
 def topk_desc(values: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
