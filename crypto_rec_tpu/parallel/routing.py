@@ -555,6 +555,20 @@ def routed_retrieve_topk(
     else:
         raise ValueError(f"unknown interior {interior!r} (csr | dense)")
     dropped, total = routing_overflow(dest, S, cap)
+    mean_dest = float(np.asarray(dest).sum() / max(1, q))
+    # ICI traffic accounting (VERDICT r4 weak #5): bytes a query's exchange
+    # moves over the interconnect.  Request leg = the query vector (f32 d)
+    # plus, for the csr interior, its bucket ids + fingerprints (int32 L
+    # each) and a validity byte; return leg = top_k (f32 score, int32 gid)
+    # pairs.  "effective" counts only real destinations (mean_dest per
+    # query); "wire" counts the fixed-cap all_to_all buffers actually
+    # shipped (S*cap slots per source shard, padding included) — the
+    # static-shape price of XLA collectives.
+    d_cols = queries.shape[1]
+    L_tabs = q_buckets.shape[1]
+    req_bytes = 4 * d_cols + (8 * L_tabs + 1 if interior == "csr" else 1)
+    ret_bytes = 8 * top_k
+    q_pad_total = q + pad_q
     stats = {
         "n_shards": S,
         "cap": cap,
@@ -562,8 +576,12 @@ def routed_retrieve_topk(
         "dropped_requests": dropped,
         "total_requests": total,
         "corpus_rows": int(corpus.shape[0]),
-        "mean_destinations_per_query": round(
-            float(np.asarray(dest).sum() / max(1, q)), 3
+        "mean_destinations_per_query": round(mean_dest, 3),
+        "ici_request_bytes_per_query": round(mean_dest * req_bytes, 1),
+        "ici_return_bytes_per_query": round(mean_dest * ret_bytes, 1),
+        "ici_bytes_per_query": round(mean_dest * (req_bytes + ret_bytes), 1),
+        "ici_bytes_per_query_wire": round(
+            S * S * cap * (req_bytes + ret_bytes) / max(1, q_pad_total), 1
         ),
         **part_stats,
     }

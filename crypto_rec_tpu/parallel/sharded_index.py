@@ -653,7 +653,9 @@ def sharded_recommend_csr(
     pod-scale CF engine): int32 scalars summed over queries AND shards —
     unique_candidates gathered, budget_dropped (distinct rows the
     per-shard budget discarded), window_dropped (bucket members beyond
-    the per-table window).
+    the per-table window); plus ici_bytes_per_query, the all_gather merge
+    traffic (S * top_p * 4 * (c + 3) bytes — measured form of SCALE.md's
+    O(P * (c + 2)) claim).
     """
     metric = index.metric
     fam = index.family
@@ -709,12 +711,19 @@ def sharded_recommend_csr(
     stats_spec = {
         "unique_candidates": P(), "budget_dropped": P(), "window_dropped": P()
     }
-    return jax.shard_map(
+    *outs, stats = jax.shard_map(
         fn, mesh=mesh, in_specs=tuple(in_specs),
         out_specs=(P(None, None),) * 2 + (P(None),) + (P(None, None),) * 2
         + (stats_spec,),
         check_vma=False,
     )(*args)
+    # ICI accounting (static shapes, SCALE.md's O(P*(c+2)) merge claim):
+    # the all_gather merge moves, per query per shard, top_p entries of
+    # (c rating floats + 1 sim + 1 mean) f32 plus 1 int32 global id.
+    S_ = mesh.shape["mp"]
+    c_ = q_ratings.shape[1]
+    stats["ici_bytes_per_query"] = float(S_ * top_p * 4 * (c_ + 3))
+    return (*outs, stats)
 
 
 @functools.partial(
@@ -757,6 +766,8 @@ def sharded_recommend_scored(
       scanned_total        — slab rows the kernel scored;
       window_dropped_total — bucket members beyond the per-table window.
     (No budget stage exists here, so nothing analogous to budget_dropped.)
+    stats also carries ici_bytes_per_query, the all_gather merge traffic
+    (same merge as the csr engine: S * top_p * 4 * (c + 3) bytes).
     """
     from crypto_rec_tpu.ops.pallas.slabscore import (
         slab_window_dots, slab_topk,
@@ -821,10 +832,15 @@ def sharded_recommend_scored(
         P("mp", None, None), P("mp"), P("mp", None), P("mp"),
     )
     stats_spec = {"scanned_total": P(), "window_dropped_total": P()}
-    return jax.shard_map(
+    *outs, stats = jax.shard_map(
         body, mesh=mesh, in_specs=in_specs,
         out_specs=(P(None, None),) * 2 + (P(None),) + (P(None, None),) * 2
         + (stats_spec,),
         check_vma=False,
     )(index.packed, index.packed_rows, index.bucket_starts, gsc_arg,
       n_ratings, n_mean)
+    # same all_gather merge as the csr engine -> same ICI bytes per query
+    stats["ici_bytes_per_query"] = float(
+        mesh.shape["mp"] * top_p * 4 * (q_ratings.shape[1] + 3)
+    )
+    return (*outs, stats)

@@ -67,6 +67,11 @@ def test_sharded_csr_recommend_matches_dense_engine():
     assert int(stats["budget_dropped"]) == 0
     assert int(stats["window_dropped"]) == 0
     assert int(stats["unique_candidates"]) > 0
+    # SCALE.md's merge-traffic claim, now measured: the all_gather moves
+    # S * P * (c + 3) f32-equivalents per query (c ratings + sim + mean
+    # each f32, + 1 int32 gid) — never corpus rows
+    S, P_, c = 8, 6, queries.ratings.shape[1]
+    assert float(stats["ici_bytes_per_query"]) == S * P_ * 4 * (c + 3)
 
 
 def test_sharded_csr_recommend_reports_truncation():
