@@ -686,8 +686,11 @@ def candidate_ids_scored(
     reference-semantics engine (whole-bucket unions,
     /root/reference/lib/lsh_cube.hpp:77-106).
 
-    Requires a packed cosine index with scale-free slabs (pack_index
-    bf16 / global-int8 / f32); raises otherwise.
+    Requires a packed index with scale-free slabs: cosine (pack_index
+    bf16 / global-int8 / f32), or euclidean with the AUGMENTED layout
+    (pack_index augment=True) — the augmented slab dot x·q - |x|²/2 is the
+    monotone euclidean rank, so euclidean sets ride the identical kernel +
+    epilogue (VERDICT r4 missing #4; per-row-scale int8 raises).
     """
     from crypto_rec_tpu.ops.pallas.slabscore import (
         slab_window_dots,
@@ -695,28 +698,55 @@ def candidate_ids_scored(
 
     if index.packed is None:
         raise ValueError("candidate_ids_scored requires a packed index")
-    if index.metric != "cosine" or index.packed_scale is not None:
+    euclid_aug = index.metric == "euclidean" and index.packed_aug_scale is not None
+    if not (index.metric == "cosine" or euclid_aug) \
+            or index.packed_scale is not None:
         raise ValueError(
             "candidate_ids_scored rides the slab kernel: cosine scale-free "
-            "slabs only (use candidate_ids for the general path)"
+            "slabs or augmented euclidean slabs only (use candidate_ids "
+            "for the general path)"
         )
     L = index.sorted_rows.shape[0]
     n = index.n_rows
     n_pad = index.packed_rows.shape[1]
     q = queries.shape[0]
-    q_buckets, _ = query_hashes(index, queries)
+    d = queries.shape[1]
+    q_buckets, q_detailed = query_hashes(index, queries)
     l_idx = jnp.arange(L, dtype=jnp.int32)
     start = index.bucket_starts[l_idx[None, :], q_buckets]
     end = index.bucket_starts[l_idx[None, :], q_buckets + 1]
     size = end - start
-    golden = jnp.int32(-1640531527)
-    mix = (q_buckets * golden) ^ (l_idx[None, :] * jnp.int32(40503))
-    s0 = start + jnp.remainder(
-        jnp.abs(mix), jnp.maximum(size - per_table, 0) + 1
-    )
+    if euclid_aug and index.packed_detailed is not None:
+        # (bucket, fingerprint)-sorted slabs: jump to the exact-tuple run
+        # (same contract as packed_retrieve_pallas_euclid)
+        flat_fp = index.packed_detailed.reshape(-1)
+        base = l_idx[None, :] * n_pad
+        s0 = _fp_run_starts(
+            lambda p: flat_fp[base + p], start, end, q_detailed, n_pad
+        )
+    else:
+        golden = jnp.int32(-1640531527)
+        mix = (q_buckets * golden) ^ (l_idx[None, :] * jnp.int32(40503))
+        s0 = start + jnp.remainder(
+            jnp.abs(mix), jnp.maximum(size - per_table, 0) + 1
+        )
     sizes = jnp.minimum(end - s0, per_table)
     qv = queries.astype(jnp.float32)
-    qv = qv / jnp.maximum(jnp.linalg.norm(qv, axis=1, keepdims=True), 1e-30)
+    if euclid_aug:
+        d_aug = index.packed.shape[-1]
+        qv = jnp.concatenate(
+            [
+                qv,
+                jnp.broadcast_to(
+                    jnp.asarray(index.packed_aug_scale, jnp.float32), (q, 1)
+                ),
+                jnp.zeros((q, d_aug - d - 1), jnp.float32),
+            ],
+            axis=1,
+        )
+    else:
+        qv = qv / jnp.maximum(
+            jnp.linalg.norm(qv, axis=1, keepdims=True), 1e-30)
     interpret = not resolve_use_pallas(use_pallas)
     dots, a0 = slab_window_dots(
         index.packed, None, s0, sizes, qv, per_table=per_table,

@@ -221,3 +221,51 @@ def test_sharded_recommend_scored_int8_dequant():
     # dequantized sims are ~cosine: twin sim near 1 within the int8 band
     assert (np.abs(s[:, 0] - 1.0) < 0.05).all()
     np.testing.assert_allclose(np.asarray(pred)[qk], qr[qk], atol=1e-6)
+
+
+def test_sharded_recommend_scored_euclidean_augmented():
+    """Augmented euclidean shards in the scored CF engine (VERDICT r4
+    missing #4): each shard ranks its windows by the euclidean rank dot,
+    rescoring the survivors with exact cosine — the planted twin must lead
+    and the CF weights must be true cosine sims (near 1.0 for the twin)."""
+    from crypto_rec_tpu.parallel.sharded_index import (
+        pack_sharded_index, sharded_recommend_scored,
+    )
+
+    mesh = make_mesh((1, 8))
+    n, c, q = 8 * 64, 128, 12
+    rng = np.random.default_rng(29)
+    nr, nk, nm = _ratings(n, c, seed=31)
+    target = rng.choice(n, size=q, replace=False)
+    qr = nr[target] + 1e-3 * rng.normal(size=(q, c)).astype(np.float32)
+    qk = np.asarray(np.random.default_rng(32).random((q, c)) < 0.6)
+    qm = ((qr * qk).sum(1) / np.maximum(qk.sum(1), 1)).astype(np.float32)
+
+    sharded = build_sharded_index(
+        mesh, KEY, shard_corpus(mesh, jnp.asarray(nr)), "euclidean", 3, 4,
+        lsh_bucket_div=4, euclidean_h_w=8.0,
+    )
+    sharded = pack_sharded_index(
+        mesh, sharded, shard_corpus(mesh, jnp.asarray(nr)),
+        dtype=jnp.float32, pad=512, augment=True,
+    )
+    assert sharded.packed_aug_scale is not None
+    nm_sh = jax.device_put(
+        jnp.asarray(nm),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("mp")),
+    )
+    pred, top, has, sims, gids, stats = sharded_recommend_scored(
+        mesh, sharded,
+        jnp.asarray(qr), jnp.asarray(qk), jnp.asarray(qm),
+        shard_corpus(mesh, jnp.asarray(nr)), nm_sh,
+        top_p=6, top_n=3, per_table=64, pallas_interpret=True,
+    )
+    assert np.asarray(has).all()
+    g = np.asarray(gids)
+    assert (g[:, 0] == target).all()
+    s = np.asarray(sims)
+    # weights are exact cosine sims of the rescored survivors
+    assert (np.abs(s[:, 0] - 1.0) < 1e-3).all()
+    assert (np.diff(np.where(np.isfinite(s), s, -1e9), axis=1) <= 1e-6).all()
+    np.testing.assert_allclose(np.asarray(pred)[qk], qr[qk], atol=1e-6)
+    assert int(stats["scanned_total"]) > 0
