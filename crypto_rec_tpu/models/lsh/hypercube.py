@@ -129,6 +129,75 @@ def build_hypercube(
     )
 
 
+def _bit_margins(cube: Hypercube, queries: jax.Array) -> jax.Array:
+    """[q, k] per-bit confidence margins — how far each query sits from the
+    decision boundary of each cube bit (small margin = the bit is likely to
+    differ for a true near neighbor).
+
+    cosine: |r_i . x| (distance to the hyperplane, up to |r_i| scaling);
+    euclidean f-bits: the bit is a pseudorandom function of the p-stable
+    cell index, so it can only differ when the cell changes — margin =
+    distance of (v.x + t)/w to the nearest cell boundary."""
+    dots = jnp.dot(
+        queries.astype(jnp.float32), cube.family.proj,
+        preferred_element_type=jnp.float32,
+    )                                                     # [q, k] (L = 1)
+    if cube.metric == "cosine":
+        return jnp.abs(dots)
+    z = (dots + cube.family.offsets[0][None]) / cube.family.w
+    frac = z - jnp.floor(z)
+    return jnp.minimum(frac, 1.0 - frac)
+
+
+def directed_probe_vertices(
+    cube: Hypercube, queries: jax.Array, probes: int,
+    m_bits: Optional[int] = None,
+) -> jax.Array:
+    """Query-DIRECTED multiprobe: [q, d] -> [q, probes] vertex ids, home
+    vertex first.
+
+    The reference probes vertices in pure Hamming-distance order
+    (get_hypercube_combined_buckets, lsh_cube.hpp:139-177) — blind to WHICH
+    bits are uncertain.  Here each query enumerates the subsets of its m
+    least-confident bits (margins from _bit_margins), scores each subset by
+    its summed margin, and probes the `probes` lowest-scoring vertices —
+    the query-directed scheme of multi-probe LSH (Lv et al., VLDB'07),
+    fully vectorized: one top_k for the m soft bits, one [q, m] x [m, 2^m]
+    subset-score matmul, one top_k over the 2^m subsets.  The empty subset
+    scores 0, so the home vertex always leads.  Hamming order remains on
+    the reference-parity paths (cube_candidate_mask / cube_candidate_ids).
+    """
+    k = cube.k
+    q = queries.shape[0]
+    margins = _bit_margins(cube, queries)                 # [q, k]
+    if m_bits is None:
+        # enough soft bits that the 2^m enumeration comfortably covers
+        # `probes` subsets: 2 bits beyond ceil(log2(probes))
+        m_bits = (max(2, probes - 1)).bit_length() + 2
+    m = min(m_bits, k, 13)                                # cap 8192 subsets
+    neg_m, pos = jax.lax.top_k(-margins, m)               # softest m bits
+    small = -neg_m                                        # [q, m] ascending
+    subsets = (
+        (jnp.arange(1 << m, dtype=jnp.int32)[:, None]
+         >> jnp.arange(m, dtype=jnp.int32)[None, :]) & 1
+    )                                                     # [2^m, m]
+    score = small @ subsets.astype(jnp.float32).T         # [q, 2^m]
+    # per-query XOR masks: bits are packed MSB-first (_pack_msb_first)
+    bitw = (1 << (k - 1 - pos)).astype(jnp.float32)       # [q, m]
+    xor_masks = jnp.einsum(
+        "sm,qm->qs", subsets.astype(jnp.float32), bitw,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)                                   # [q, 2^m]
+    _, sel = jax.lax.top_k(-score, min(probes, 1 << m))
+    masks = jnp.take_along_axis(xor_masks, sel, axis=1)
+    if masks.shape[1] < probes:                           # tiny-k fallback
+        masks = jnp.pad(masks, ((0, 0), (0, probes - masks.shape[1])))
+    home = _vertex_ids(
+        cube.metric, cube.k, cube.family, cube.mix_mul, cube.mix_add, queries
+    )
+    return home[:, None] ^ masks
+
+
 def cube_candidate_mask(cube: Hypercube, queries: jax.Array, probes: int) -> jax.Array:
     """Dense [q, n] mask — union of buckets over the probe schedule
     (get_hypercube_combined_buckets, lsh_cube.hpp:139-177)."""
@@ -195,7 +264,7 @@ def pack_cube(
 @functools.partial(
     jax.jit,
     static_argnames=("top_k", "probes", "per_probe", "q_block",
-                     "approx_stage1"),
+                     "approx_stage1", "directed"),
 )
 def cube_retrieve_topk(
     cube: Hypercube,
@@ -206,12 +275,19 @@ def cube_retrieve_topk(
     per_probe: int = 256,
     q_block: int = 256,
     approx_stage1: bool = False,
+    directed: bool = True,
 ):
     """Fused hypercube retrieval over the packed layout: probe schedule ->
     per-vertex slab windows -> score -> top-k.  Reuses the multi-table
     packed_retrieve_core by treating the `probes` probed vertices as virtual
     tables over the SAME single slab (probe buckets are disjoint, so the
     dedup stage is a no-op and every window reads table 0's slab).
+
+    directed=True (default) probes each query's most-likely vertices by
+    bit-confidence margins (directed_probe_vertices) instead of blind
+    Hamming order — the same budget buys the vertices a near neighbor is
+    actually likely to land in.  directed=False restores the reference's
+    Hamming-order schedule (lsh_cube.hpp:139-177) for parity.
 
     -> (scores [q, top_k] descending nearest-first, row ids [q, top_k]).
     """
@@ -239,7 +315,7 @@ def cube_retrieve_topk(
     if use_kernel:
         return _cube_retrieve_kernel(
             cube, queries, corpus, top_k, probes, per_probe,
-            interpret=not resolve_use_pallas(None),
+            interpret=not resolve_use_pallas(None), directed=directed,
         )
     masks = jnp.asarray(hamming_probe_order(cube.k, probes))  # [p]
     core_k = min(4 * top_k, probes * top_k) if quantized else top_k
@@ -249,10 +325,14 @@ def cube_retrieve_topk(
     queries_p = jnp.pad(queries, ((0, pad_q), (0, 0)))
 
     def one_block(blk):
-        qv = _vertex_ids(
-            cube.metric, cube.k, cube.family, cube.mix_mul, cube.mix_add, blk
-        )
-        probe_vertices = qv[:, None] ^ masks[None, :]          # [q, p]
+        if directed:
+            probe_vertices = directed_probe_vertices(cube, blk, probes)
+        else:
+            qv = _vertex_ids(
+                cube.metric, cube.k, cube.family, cube.mix_mul, cube.mix_add,
+                blk,
+            )
+            probe_vertices = qv[:, None] ^ masks[None, :]      # [q, p]
         s, ids = packed_retrieve_core(
             cube.packed, cube.packed_rows, cube.packed_sqnorm, None,
             cube.bucket_starts, cube.n_rows, cube.metric,
@@ -304,6 +384,7 @@ def _cube_retrieve_kernel(
     per_probe: int,
     group: int = 8,
     interpret: bool = False,
+    directed: bool = True,
 ):
     """Cosine hypercube probing on the fused slab kernel (shared-slab
     form): each query's `probes` vertex windows are regrouped as
@@ -317,13 +398,17 @@ def _cube_retrieve_kernel(
 
     q, d = queries.shape
     n_pad = cube.packed.shape[1]
-    masks = jnp.asarray(hamming_probe_order(cube.k, probes))      # [T]
     qv = queries.astype(jnp.float32)
     qv = qv / jnp.maximum(jnp.linalg.norm(qv, axis=1, keepdims=True), 1e-30)
-    home = _vertex_ids(
-        cube.metric, cube.k, cube.family, cube.mix_mul, cube.mix_add, queries
-    )
-    pv = home[:, None] ^ masks[None, :]                           # [q, T]
+    if directed:
+        pv = directed_probe_vertices(cube, queries, probes)       # [q, T]
+    else:
+        masks = jnp.asarray(hamming_probe_order(cube.k, probes))  # [T]
+        home = _vertex_ids(
+            cube.metric, cube.k, cube.family, cube.mix_mul, cube.mix_add,
+            queries,
+        )
+        pv = home[:, None] ^ masks[None, :]                       # [q, T]
     starts = cube.bucket_starts[0]
     start = starts[pv]
     end = starts[pv + 1]

@@ -163,8 +163,9 @@ def test_cube_retrieve_topk_matches_probe_mask():
             jax.random.PRNGKey(2), x, metric, kk, euclidean_h_w=4.0
         )
         cube = pack_cube(cube, x, dtype=jnp.bfloat16, pad=1024)
+        # directed=False: this is the Hamming-order reference-parity check
         vals, ids = cube_retrieve_topk(
-            cube, qs, x, top_k=tk, probes=probes, per_probe=n
+            cube, qs, x, top_k=tk, probes=probes, per_probe=n, directed=False
         )
         vals, ids = np.asarray(vals), np.asarray(ids)
 
@@ -195,6 +196,51 @@ def test_cube_retrieve_topk_matches_probe_mask():
         match = (ids[finite] == ref_ids[finite]).mean()
         assert match > 0.95, f"{metric}: id match {match}"
         assert (ids[~finite] == -1).all()
+
+
+def test_cube_directed_probing_beats_hamming():
+    """Query-directed multiprobe (round 5): on clustered data, probing the
+    margin-likeliest vertices at the SAME probe budget must recall at least
+    as many true neighbors as blind Hamming order, for both metrics; the
+    home vertex (empty flip set) must always lead the schedule."""
+    from crypto_rec_tpu.models.lsh.hypercube import (
+        build_hypercube, directed_probe_vertices, _vertex_ids,
+        pack_cube, cube_retrieve_topk,
+    )
+    from crypto_rec_tpu.ops.oracle import exact_nearest, recall_at_k
+
+    rng = np.random.default_rng(41)
+    n, d, q, kk, probes, tk = 4096, 32, 64, 8, 8, 10
+    centers = rng.normal(size=(32, d)).astype(np.float32) * 4
+    base = (centers[rng.integers(0, 32, n)]
+            + 0.15 * rng.normal(size=(n, d))).astype(np.float32)
+    x = jnp.asarray(base)
+    target = rng.choice(n, size=q, replace=False)
+    qs = jnp.asarray(base[target] + 0.01 * rng.normal(size=(q, d)).astype(np.float32))
+    for metric in ("cosine", "euclidean"):
+        cube = build_hypercube(jax.random.PRNGKey(6), x, metric, kk,
+                               euclidean_h_w=6.0)
+        pv = np.asarray(directed_probe_vertices(cube, qs, probes))
+        home = np.asarray(_vertex_ids(
+            cube.metric, cube.k, cube.family, cube.mix_mul, cube.mix_add, qs
+        ))
+        assert pv.shape == (q, probes)
+        assert (pv[:, 0] == home).all(), metric      # home vertex first
+        for row in pv:                                # distinct vertices
+            assert len(set(row.tolist())) == probes
+        cube = pack_cube(cube, x, dtype=jnp.float32, pad=1024)
+        _d, true_idx = exact_nearest(qs, x, metric, tk)
+        _vd, ids_dir = cube_retrieve_topk(
+            cube, qs, x, top_k=tk, probes=probes, per_probe=512,
+            directed=True)
+        _vh, ids_ham = cube_retrieve_topk(
+            cube, qs, x, top_k=tk, probes=probes, per_probe=512,
+            directed=False)
+        r_dir = float(recall_at_k(ids_dir, true_idx))
+        r_ham = float(recall_at_k(ids_ham, true_idx))
+        assert r_dir >= r_ham - 1e-6, (metric, r_dir, r_ham)
+        # directed must find the planted twin (it lives in the home bucket)
+        assert (np.asarray(ids_dir)[:, 0] == target).all(), metric
 
 
 def test_cube_retrieve_topk_int8_exact_rerank():
@@ -243,7 +289,8 @@ def test_cube_retrieve_kernel_branch():
         if dt == jnp.int8:
             assert cube.packed_gscale is not None
         vals, ids = cube_retrieve_topk(
-            cube, qs, x, top_k=tk, probes=probes, per_probe=256
+            cube, qs, x, top_k=tk, probes=probes, per_probe=256,
+            directed=False,  # domination is against the HAMMING probe mask
         )
         vals, ids = np.asarray(vals), np.asarray(ids)
         assert (ids[:, 0] == target).all(), dt
