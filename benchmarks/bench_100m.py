@@ -1,0 +1,161 @@
+"""BENCH_100M: a >=100M-row index served through ONE chip (VERDICT r4
+missing #2 — turn SCALE.md's arithmetic into an executed mechanism).
+
+The corpus (default 100M x 128, ~51 GB f32-equivalent) never exists on
+the device OR in host f32: it is generated chunk-by-chunk, hashed and
+packed host-side into global-scale int8 slabs (models/lsh/streamed.py),
+and a query batch is served by streaming one chunk's slabs at a time
+through the fused slab kernel with an on-device running top-k merge.
+
+Ground truth is the planted protocol of io/synth.planted_clustered_corpus
+(each query's tk planted near-copies are the unambiguous top-k by a ~2x
+distance margin), with planted rows SCATTERED uniformly across the corpus
+so every chunk contributes and the cross-chunk merge is exercised.  The
+exact oracle is skipped at this scale (a host pass would take hours on 2
+cores); oracle agreement with the planted truth has been 1.0000 in every
+recorded 2M/10M run.
+
+Writes one JSON line (and BENCH_100M.json at the repo root when
+BENCH_100M_OUT is set).
+
+Env knobs: BENCH_N (1e8), BENCH_Q (32768), BENCH_LSH_K (13), BENCH_LSH_L
+(4), BENCH_WINDOW (1024), BENCH_CHUNKS (16).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..")))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-bench")
+
+from crypto_rec_tpu.models.lsh.streamed import (
+    build_streamed_index, streamed_retrieve_topk,
+)
+from crypto_rec_tpu.ops.oracle import recall_at_k
+from crypto_rec_tpu.utils.timing import hard_sync
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    N = int(float(os.environ.get("BENCH_N", 1e8)))
+    D = int(os.environ.get("BENCH_D", 128))
+    Q = int(os.environ.get("BENCH_Q", 32768))
+    K = int(os.environ.get("BENCH_LSH_K", 13))
+    L = int(os.environ.get("BENCH_LSH_L", 4))
+    PT = int(os.environ.get("BENCH_WINDOW", 1024))
+    CHUNKS = int(os.environ.get("BENCH_CHUNKS", 16))
+    TOPK = 10
+    N_CENTERS = max(1024, N // 128)
+
+    rng0 = np.random.default_rng(7)
+    # centers live for the whole build (N/128 x 128 f32 = N bytes)
+    centers = (rng0.standard_normal((N_CENTERS, D), np.float32) * 2.0)
+    q_assign = rng0.integers(0, N_CENTERS, Q)
+    queries = (
+        centers[q_assign]
+        + 0.3 * rng0.standard_normal((Q, D), np.float32)
+    ).astype(np.float32)
+
+    n_planted = Q * TOPK
+    stride = N // n_planted
+    assert stride >= 1, "corpus too small for the planted protocol"
+    # planted global positions j*stride, j in [0, n_planted) — uniform
+    # across chunks; query of j = j // TOPK
+    chunk_rows = -(-N // CHUNKS)
+
+    def chunk_source(ci):
+        lo = ci * chunk_rows
+        hi = min(N, lo + chunk_rows)
+        nc = hi - lo
+        r = np.random.default_rng(1000 + ci)
+        assign = r.integers(0, N_CENTERS, nc)
+        x = (centers[assign]
+             + 0.3 * r.standard_normal((nc, D), np.float32))
+        # overwrite the planted rows of this range: global pos p = j*stride
+        j_lo = -(-lo // stride)               # first j with j*stride >= lo
+        j_hi = min(n_planted, (hi - 1) // stride + 1)
+        if j_hi > j_lo:
+            js = np.arange(j_lo, j_hi)
+            pos = js * stride - lo
+            qi = js // TOPK
+            rp = np.random.default_rng(5000 + ci)
+            x[pos] = (
+                queries[qi]
+                + 0.15 * rp.standard_normal((len(js), D), np.float32)
+            )
+        return x.astype(np.float32)
+
+    log(f"building streamed index: N={N} D={D} K={K} L={L} "
+        f"chunks={CHUNKS} ({L * N * D / 1e9:.1f} GB int8 slabs host-side)")
+    t0 = time.perf_counter()
+    sidx = build_streamed_index(
+        jax.random.PRNGKey(3), chunk_source, N, D, K, L, CHUNKS,
+    )
+    build_s = time.perf_counter() - t0
+    log(f"host build: {build_s:.1f}s ({N / build_s / 1e6:.2f}M rows/s), "
+        f"host bytes {sidx.host_bytes() / 1e9:.1f} GB")
+
+    qdev = hard_sync(jnp.asarray(queries))
+    true_idx = jnp.asarray(
+        (np.arange(n_planted) * stride).reshape(Q, TOPK))
+
+    # warm pass (compile) then timed passes
+    stats: dict = {}
+    t0 = time.perf_counter()
+    vals, ids = streamed_retrieve_topk(
+        sidx, qdev, top_k=TOPK, per_table=PT, stats=stats)
+    warm_s = time.perf_counter() - t0
+    log(f"pass 1 (incl. compile): {warm_s:.1f}s  {stats}")
+    reps = int(os.environ.get("BENCH_REPS", 2))
+    runs = []
+    for _ in range(reps):
+        stats = {}
+        vals, ids = streamed_retrieve_topk(
+            sidx, qdev, top_k=TOPK, per_table=PT, stats=stats)
+        runs.append(stats)
+        log(f"pass: {stats}")
+    best = min(runs, key=lambda s: s["wall_s"])
+    recall = float(recall_at_k(ids, true_idx))
+    log(f"recall@{TOPK} vs planted truth: {recall:.4f}")
+
+    out = {
+        "metric": f"streamed_lsh_recall@{TOPK}",
+        "value": round(recall, 4),
+        "unit": "recall",
+        "vs_baseline": round(recall / 0.95, 4),
+        "qps_per_chip": best["qps"],
+        "corpus_rows": N,
+        "dim": D,
+        "lsh_k": K,
+        "lsh_tables": L,
+        "per_table_window": PT,
+        "chunks": CHUNKS,
+        "host_build_s": round(build_s, 1),
+        "host_index_gb": round(sidx.host_bytes() / 1e9, 2),
+        "stream_gb_per_s": best["stream_gb_per_s"],
+        "batch": Q,
+        "pass_wall_s": best["wall_s"],
+        "mode": "shard_serialized_streaming",
+    }
+    print(json.dumps(out))
+    out_path = os.environ.get("BENCH_100M_OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(json.dumps(out) + "\n")
+
+
+if __name__ == "__main__":
+    main()

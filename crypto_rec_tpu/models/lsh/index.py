@@ -908,6 +908,7 @@ def gather_candidate_ids(
     static_argnames=(
         "top_k", "per_table", "filtered", "q_block", "block_rows",
         "use_pallas", "int8_rerank", "approx_stage1", "stage1_width",
+        "stage1_per_table",
     ),
 )
 def retrieve_topk(
@@ -923,6 +924,7 @@ def retrieve_topk(
     int8_rerank: bool = True,
     approx_stage1: bool = False,
     stage1_width: int = 0,
+    stage1_per_table: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused end-to-end retrieval: bucket gather -> score -> top-k.
 
@@ -951,6 +953,7 @@ def retrieve_topk(
         lambda blk: _retrieve_topk_block(
             index, blk, corpus, top_k, per_table, filtered, block_rows,
             use_pallas, int8_rerank, approx_stage1, stage1_width,
+            stage1_per_table,
         ),
         queries_p.reshape(-1, q_block, queries.shape[1]),
     )
@@ -972,11 +975,13 @@ def _retrieve_topk_block(
     int8_rerank: bool = True,
     approx_stage1: bool = False,
     stage1_width: int = 0,
+    stage1_per_table: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     if index.packed is not None:
         return _retrieve_topk_block_packed(
             index, queries, corpus, top_k, per_table, filtered, block_rows,
             use_pallas, int8_rerank, approx_stage1, stage1_width,
+            stage1_per_table,
         )
     L = index.bucket_ids.shape[1]
     q_buckets, q_detailed = query_hashes(index, queries)
@@ -1055,6 +1060,7 @@ def _retrieve_topk_block_packed(
     int8_rerank: bool = True,
     approx_stage1: bool = False,
     stage1_width: int = 0,
+    stage1_per_table: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     quantized = jnp.issubdtype(index.packed.dtype, jnp.integer)
     if index.packed_aug_scale is not None:
@@ -1119,7 +1125,7 @@ def _retrieve_topk_block_packed(
         s, ids = packed_retrieve_pallas(
             index.packed, index.packed_rows, None, index.bucket_starts,
             index.n_rows, queries, q_buckets, core_k, per_table,
-            stage1_width=stage1_width,
+            stage1_width=stage1_width, stage1_per_table=stage1_per_table,
         )
         if scale_free:
             return s * index.packed_gscale, ids

@@ -107,6 +107,7 @@ def recommend(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("top_n",))
 def recommend_topk_retrieved(
     queries: RatingSet,
     neighbors: RatingSet,
@@ -132,6 +133,7 @@ def recommend_topk_retrieved(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("top_p", "top_n"))
 def recommend_from_ids(
     queries: RatingSet,
     neighbors: RatingSet,

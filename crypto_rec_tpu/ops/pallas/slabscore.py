@@ -417,6 +417,7 @@ def slab_topk(
     top_k: int,
     exact: bool = True,
     stage1_width: int = 0,
+    stage1_per_table: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Two-stage dedup top-k over kernel dots.
 
@@ -448,12 +449,19 @@ def slab_topk(
     retrieval with stage1_width=96 measured the SAME planted recall as
     the full 160 at 1.5x the q/s.  When set, the flat selector is used.
 
+    stage1_per_table overrides the per-table selector's per-window kk
+    BELOW top_k (keeps the cheap win-wide selector rows while relaxing the
+    containment guarantee from top_k to kk) — the top-P>10 CF form, where
+    rank-P-tail neighbor weights tolerate approximation.  Takes precedence
+    over stage1_width.
+
     -> (scores [q, top_k] descending, row ids [q, top_k], -1 pad)."""
     q, L, win = dots.shape
     n_pad = packed_rows.shape[1]
-    if not exact and not stage1_width:
-        # per-table stage 1 (see docstring guarantee)
-        kk = min(top_k, win)
+    if not exact and (stage1_per_table or not stage1_width):
+        # per-table stage 1 (see docstring guarantee); kk floor keeps
+        # L * kk >= top_k so stage 2 can still emit top_k survivors
+        kk = min(max(stage1_per_table or top_k, -(-top_k // L)), win)
         rows = dots.reshape(q * L, win)
         s1, lane = jax.lax.approx_max_k(rows, kk, recall_target=0.9)
         s1 = s1.reshape(q, L * kk)
@@ -496,6 +504,7 @@ def packed_retrieve_pallas(
     interpret: bool = False,
     strict: bool = False,
     stage1_width: int = 0,
+    stage1_per_table: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Pallas counterpart of packed_retrieve_core (cosine, unfiltered):
     same pseudo-random window offsets, same dedup top-k epilogue — the
@@ -533,7 +542,8 @@ def packed_retrieve_pallas(
         mask=strict,
     )
     return slab_topk(dots, a0, packed_rows, n_rows, top_k, exact=strict,
-                     stage1_width=stage1_width)
+                     stage1_width=stage1_width,
+                     stage1_per_table=stage1_per_table)
 
 
 def packed_retrieve_pallas_euclid(
