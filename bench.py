@@ -438,16 +438,30 @@ def main() -> None:
             )
             qset = RatingSet(ratings=qs, known=q_known, mean=q_mean)
 
+            # single-launch kernel wrapper + per-table stage-1 at kk=12
+            # (probe_r5_cf.py / probe_cf3: the q_block lax.map of
+            # retrieve_topk plus the old flat-96 selector cost ~2x; kk=12
+            # keeps 96 stage-1 survivors at 0.9998 neighbor recall and
+            # 145 ms for top-20 at 32k — CF e2e 99.96k -> 212k users/s)
+            cf_kernel_ok = (
+                dev.platform == "tpu" and pidx.packed_scale is None
+            )
+
             def run_cf():
-                # approx-sim int8 mode: CF weights tolerate ~1% quant
-                # noise.  stage1_width=96 pins the FLAT stage-1 selector:
-                # for top-20 the per-table form needs kk=20 per window,
-                # which measured ~2x slower than the flat 96-wide cap
-                # (round-4 smoke — the per-table win is a top-10 story)
-                sims, nidx = retrieve_topk(
-                    pidx, qs, corpus, top_k=TOP_P, per_table=PT,
-                    int8_rerank=False, stage1_width=96,
-                )
+                if cf_kernel_ok:
+                    from crypto_rec_tpu.models.lsh.index import (
+                        retrieve_topk_pallas,
+                    )
+
+                    sims, nidx = retrieve_topk_pallas(
+                        pidx, qs, corpus, top_k=TOP_P, per_table=PT,
+                        int8_rerank=False, stage1_per_table=12,
+                    )
+                else:
+                    sims, nidx = retrieve_topk(
+                        pidx, qs, corpus, top_k=TOP_P, per_table=PT,
+                        int8_rerank=False, stage1_per_table=12,
+                    )
                 return recommend_topk_retrieved(qset, nset, sims, nidx, TOP_N)
 
             return run_cf

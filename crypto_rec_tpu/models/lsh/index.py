@@ -1334,7 +1334,7 @@ def packed_retrieve_core(
 @functools.partial(
     jax.jit,
     static_argnames=("top_k", "per_table", "q_tile", "interpret", "strict",
-                     "int8_rerank"),
+                     "int8_rerank", "stage1_width", "stage1_per_table"),
 )
 def retrieve_topk_pallas(
     index: LshIndex,
@@ -1346,6 +1346,8 @@ def retrieve_topk_pallas(
     interpret: bool = False,
     strict: bool = False,
     int8_rerank: bool = True,
+    stage1_width: int = 0,
+    stage1_per_table: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """retrieve_topk over the packed layout via the fused slab-score Pallas
     kernel (ops/pallas/slabscore.py): each (query, table) bucket window is
@@ -1379,7 +1381,8 @@ def retrieve_topk_pallas(
         index.packed, index.packed_rows, index.packed_scale,
         index.bucket_starts, index.n_rows, queries, q_buckets,
         core_k, per_table, q_tile=q_tile, interpret=interpret,
-        strict=strict,
+        strict=strict, stage1_width=stage1_width,
+        stage1_per_table=stage1_per_table,
     )
     if scale_free:
         return s * index.packed_gscale, ids
