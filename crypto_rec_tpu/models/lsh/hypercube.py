@@ -349,6 +349,176 @@ def cube_retrieve_topk(
     return vals.reshape(-1, vals.shape[-1])[:q], ids.reshape(-1, ids.shape[-1])[:q]
 
 
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("cubes", "packed", "packed_rows", "bucket_starts",
+                 "packed_gscale"),
+    meta_fields=("metric", "k", "n_rows", "n_cubes", "n_pad"),
+)
+@dataclasses.dataclass
+class MultiCube:
+    """C independent hypercubes over the same corpus, slabs CONCATENATED
+    into one shared-slab segment array — the cube analog of L LSH tables.
+
+    A single cube's recall ceiling is structural: query-directed probing
+    enumerates subsets of the m least-confident bits, so a true neighbor
+    that differs in a CONFIDENT bit is unreachable at any probe budget
+    (measured plateau ~0.978 at the 2M bench point for k=13 AND k=14,
+    probes 16..48 — probe_r5_cube.py).  C independent cubes make those
+    misses independent: 1 - (1 - 0.978)^2 ~ 0.9995.  Probing runs the
+    shared-slab kernel ONCE over all C x probes windows (each cube's
+    windows offset into its own slab segment), so the union costs one
+    kernel launch, not C."""
+
+    metric: str
+    k: int
+    n_rows: int
+    n_cubes: int
+    n_pad: int                  # per-cube slab segment length
+    cubes: tuple                # C unpacked Hypercubes (families + mixes)
+    packed: jax.Array           # [1, C * n_pad, d]
+    packed_rows: jax.Array      # [1, C * n_pad]
+    bucket_starts: jax.Array    # [C, 2^k + 1] (segment-LOCAL)
+    packed_gscale: Optional[jax.Array]
+
+
+def build_multicube(
+    key: jax.Array,
+    vectors: jax.Array,
+    metric: str,
+    n_cubes: int,
+    k: int,
+    euclidean_h_w: float,
+    corpus_dtype=jnp.bfloat16,
+    pad: int = 4096,
+) -> MultiCube:
+    """C independent build_hypercube + pack_cube, slabs concatenated into
+    the shared-slab layout.  All cubes pack the same normalized row set,
+    so the int8 global scale is identical across cubes (asserted)."""
+    cubes = []
+    packed, rows = [], []
+    starts = []
+    gscale = None
+    for ci in range(n_cubes):
+        cube = build_hypercube(
+            jax.random.fold_in(key, ci), vectors, metric, k, euclidean_h_w
+        )
+        pc = pack_cube(cube, vectors, dtype=corpus_dtype, pad=pad)
+        if pc.packed_scale is not None:
+            raise ValueError("multicube covers scale-free slabs only")
+        packed.append(pc.packed[0])
+        rows.append(pc.packed_rows[0])
+        starts.append(pc.bucket_starts[0])
+        if pc.packed_gscale is not None:
+            gscale = pc.packed_gscale  # identical row set => same scale
+        cubes.append(
+            dataclasses.replace(
+                cube, packed=None, packed_rows=None, packed_sqnorm=None,
+                packed_scale=None, packed_gscale=None,
+            )
+        )
+    return MultiCube(
+        metric=metric, k=k, n_rows=vectors.shape[0], n_cubes=n_cubes,
+        n_pad=packed[0].shape[0],
+        cubes=tuple(cubes),
+        packed=jnp.concatenate(packed, axis=0)[None],
+        packed_rows=jnp.concatenate(rows, axis=0)[None],
+        bucket_starts=jnp.stack(starts),
+        packed_gscale=gscale,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("top_k", "probes", "per_probe", "directed", "group"),
+)
+def multicube_retrieve_topk(
+    mc: MultiCube,
+    queries: jax.Array,   # [q, d]
+    top_k: int,
+    probes: int,          # PER-CUBE probe count
+    per_probe: int = 256,
+    directed: bool = True,
+    group: int = 8,
+):
+    """Union retrieval over C cubes in ONE shared-slab kernel launch:
+    each cube contributes its `probes` (directed) vertex windows, offset
+    into its slab segment; the maskless DMA pipeline + approx stage-1 +
+    id-dedup epilogue are exactly the LSH production path.  Cosine only.
+
+    -> (scores [q, top_k] descending cosine sims, row ids, -1 pad)."""
+    from crypto_rec_tpu.models.lsh.index import resolve_use_pallas
+    from crypto_rec_tpu.ops.pallas.slabscore import (
+        _dedup_topk_pairs, slab_window_dots,
+    )
+
+    if mc.metric != "cosine":
+        raise ValueError("multicube_retrieve_topk is cosine-only")
+    C, n_pad = mc.n_cubes, mc.n_pad
+    q, d = queries.shape
+    T = C * probes
+    if T % group:
+        raise ValueError(f"n_cubes*probes={T} must divide group={group}")
+    qv = queries.astype(jnp.float32)
+    qv = qv / jnp.maximum(jnp.linalg.norm(qv, axis=1, keepdims=True), 1e-30)
+
+    pv_l, s0_l, sz_l = [], [], []
+    for ci, cube in enumerate(mc.cubes):
+        if directed:
+            pv = directed_probe_vertices(cube, queries, probes)
+        else:
+            masks = jnp.asarray(hamming_probe_order(mc.k, probes))
+            home = _vertex_ids(
+                mc.metric, mc.k, cube.family, cube.mix_mul, cube.mix_add,
+                queries,
+            )
+            pv = home[:, None] ^ masks[None, :]
+        starts = mc.bucket_starts[ci]
+        b0 = starts[pv]
+        b1 = starts[pv + 1]
+        size = b1 - b0
+        golden = jnp.int32(-1640531527)
+        t_idx = jnp.arange(probes, dtype=jnp.int32)
+        mix = (pv * golden) ^ ((t_idx + ci * probes)[None, :]
+                               * jnp.int32(40503))
+        s0 = b0 + jnp.remainder(
+            jnp.abs(mix), jnp.maximum(size - per_probe, 0) + 1
+        )
+        s0_l.append(s0 + ci * n_pad)          # absolute segment offset
+        sz_l.append(jnp.minimum(b1 - s0, per_probe))
+    s0 = jnp.concatenate(s0_l, axis=1)        # [q, T]
+    sizes = jnp.concatenate(sz_l, axis=1)
+
+    R = T // group
+    dots, a0 = slab_window_dots(
+        mc.packed, None,
+        s0.reshape(q * R, group), sizes.reshape(q * R, group),
+        jnp.repeat(qv, R, axis=0),
+        per_table=per_probe, mask=False, shared_slab=True,
+        interpret=not resolve_use_pallas(None),
+    )                                         # [q*R, group, win]
+    win = dots.shape[2]
+    # PER-WINDOW stage 1 (the LSH production epilogue, slab_topk's
+    # per-table branch with absolute window offsets): a flat approx
+    # selector over all T windows loses duplicate-crowded near-ties (a
+    # twin found by BOTH cubes occupies two survivor slots) — measured
+    # 0.82 vs 0.98 on the CPU oracle test before this form.
+    a_flat = a0.reshape(q, T)
+    kk = min(top_k, win)
+    rows2 = dots.reshape(q * T, win)
+    s1, lane = jax.lax.approx_max_k(rows2, kk, recall_target=0.9)
+    s1 = s1.reshape(q, T * kk)
+    lane = lane.reshape(q, T, kk)
+    total = C * n_pad
+    gpos = (a_flat[:, :, None] + lane).reshape(q, T * kk)
+    ids1 = mc.packed_rows[0][jnp.minimum(gpos, total - 1)]
+    ids1 = jnp.where(s1 > -jnp.inf, ids1, mc.n_rows)
+    s2, ids = _dedup_topk_pairs(s1, ids1, mc.n_rows, top_k)
+    if mc.packed_gscale is not None:
+        s2 = jnp.where(ids >= 0, s2 * mc.packed_gscale, -jnp.inf)
+    return s2, ids
+
+
 @functools.partial(jax.jit, static_argnames=("probes", "budget"))
 def cube_candidate_ids(
     cube: Hypercube, queries: jax.Array, probes: int, budget: int

@@ -243,6 +243,50 @@ def test_cube_directed_probing_beats_hamming():
         assert (np.asarray(ids_dir)[:, 0] == target).all(), metric
 
 
+def test_multicube_union_beats_single_cube():
+    """MultiCube (round 5): the C-cube union in one shared-slab kernel
+    launch must recall at least as much as any single member cube at the
+    same per-cube budget, return valid deduplicated GLOBAL ids, and find
+    the planted twin."""
+    from crypto_rec_tpu.models.lsh.hypercube import (
+        build_hypercube, build_multicube, multicube_retrieve_topk,
+        pack_cube, cube_retrieve_topk,
+    )
+    from crypto_rec_tpu.ops.oracle import exact_nearest, recall_at_k
+
+    rng = np.random.default_rng(47)
+    n, d, q, kk, probes, tk = 4096, 128, 48, 8, 8, 10
+    centers = rng.normal(size=(32, d)).astype(np.float32) * 2
+    base = (centers[rng.integers(0, 32, n)]
+            + 0.5 * rng.normal(size=(n, d))).astype(np.float32)
+    x = jnp.asarray(base)
+    target = rng.choice(n, size=q, replace=False)
+    qs = jnp.asarray(base[target] + 0.01 * rng.normal(size=(q, d)).astype(np.float32))
+
+    mc = build_multicube(jax.random.PRNGKey(3), x, "cosine", n_cubes=2,
+                         k=kk, euclidean_h_w=1.0, corpus_dtype=jnp.float32,
+                         pad=1024)
+    vals, ids = multicube_retrieve_topk(
+        mc, qs, top_k=tk, probes=probes, per_probe=256)
+    vals, ids = np.asarray(vals), np.asarray(ids)
+    assert ids.shape == (q, tk) and ids.max() < n
+    for row in ids:
+        real = row[row >= 0]
+        assert len(set(real.tolist())) == len(real)
+    assert (ids[:, 0] == target).all()
+    _d, true_idx = exact_nearest(qs, x, "cosine", tk)
+    r_mc = float(recall_at_k(jnp.asarray(ids), true_idx))
+
+    # single member cube at the same per-cube budget
+    single = build_hypercube(jax.random.fold_in(jax.random.PRNGKey(3), 0),
+                             x, "cosine", kk, 1.0)
+    single = pack_cube(single, x, dtype=jnp.float32, pad=1024)
+    _v1, i1 = cube_retrieve_topk(single, qs, x, top_k=tk, probes=probes,
+                                 per_probe=256, directed=True)
+    r_one = float(recall_at_k(i1, true_idx))
+    assert r_mc >= r_one - 1e-6, (r_mc, r_one)
+
+
 def test_cube_retrieve_topk_int8_exact_rerank():
     """int8 cube slabs: over-fetch + exact f32 rerank must return the same
     ids as the bf16 path on well-separated data."""
