@@ -506,13 +506,15 @@ def main() -> None:
         del pidx  # free the cosine slabs before packing euclidean tables
         pidx = None
         need_corpus("euclidean stage")
-        # defaults from the round-3 augmented sweep: L=10/w=10/window 768
-        # measured recall 0.9986 at 32.3k q/s vs the L=16 XLA path's
-        # 0.9997 at 14.3k (L=16 augmented slabs OOM a 16 GB chip at 2M)
+        # defaults from the round-5 sweep (probe_r5_euc.py): the
+        # collision-limited regime wants wider cells and fewer tables —
+        # L=4/w=20/window 768 measures 108.6k q/s at recall 0.9914 vs the
+        # round-4 default L=10/w=10's 42.8k at 0.9986 (L=6/w=20/512 is
+        # the recall-max point: 88.0k at 0.9988)
         E_K = int(os.environ.get("BENCH_EUC_K", 5))
-        E_L = int(os.environ.get("BENCH_EUC_L", 10))
+        E_L = int(os.environ.get("BENCH_EUC_L", 4))
         E_PT = int(os.environ.get("BENCH_EUC_PT", 768))
-        E_W = float(os.environ.get("BENCH_EUC_W", 10.0))
+        E_W = float(os.environ.get("BENCH_EUC_W", 20.0))
         # augmented layout (pack_index augment=True): euclidean rides the
         # slab kernel; columns double to ceil((D+1)/128)*128, so the dtype
         # gate uses the augmented width
@@ -575,61 +577,143 @@ def main() -> None:
             "pack_cold_s": round(e_pack_cold, 3),
             "dtype": jnp.dtype(e_dtype).name, "augmented": E_AUG,
         }
+        if E_AUG:
+            # euclidean scored candidate sets (round 5): the augmented
+            # rank dot feeds candidate_ids_scored, so euclidean CF rides
+            # the same kernel-ranked engine as cosine
+            from crypto_rec_tpu.models.lsh.index import candidate_ids_scored
+
+            try:
+                run_esc = lambda: candidate_ids_scored(
+                    eidx, queries, budget=256, per_table=E_PT)
+                hard_sync(run_esc())
+                esc_s = timed(run_esc, reps=5)
+                esc_recall = float(recall_at_k(run_esc(), true_idx))
+                log(f"euclidean scored sets (budget=256): "
+                    f"{esc_s*1e3:.1f} ms -> {Q/esc_s:,.0f} sets/s "
+                    f"(set-recall {esc_recall:.4f})")
+                euc_stats["scored_sets"] = {
+                    "qps": round(Q / esc_s, 1),
+                    "recall": round(esc_recall, 4),
+                    "budget": 256,
+                }
+            except Exception as e:
+                log(f"euclidean scored sets unavailable: {type(e).__name__}")
         del eidx
 
     # ---- hypercube stage (lsh_cube.hpp:139-177) ----
     cube_stats = None
     if os.environ.get("BENCH_CUBE", "1" if secondary_ok else "0") == "1":
         from crypto_rec_tpu.models.lsh.hypercube import (
-            build_hypercube, pack_cube, cube_retrieve_topk,
+            build_hypercube, build_multicube, cube_retrieve_topk,
+            multicube_retrieve_topk, pack_cube,
         )
 
         del pidx  # free the LSH slabs before packing the cube
         pidx = None
         need_corpus("hypercube stage")
         CK = int(os.environ.get("BENCH_CUBE_K", max(8, K)))
-        # Probe frontier (probe_r4_cube.py, 2M clustered): recall needs
-        # BOTH wide windows and enough probes — 48 x 976 clears the
-        # BASELINE >= 0.95 bar (0.9624 at 40.1k q/s); 32 x 976 is the
-        # fast point (54.8k at 0.9474); window 1536 exceeds the kernel's
-        # VMEM scratch.  Both points are recorded: the >= 0.95 one is the
-        # cube headline, the fast one rides alongside.
-        PROBE_LIST = [
-            int(p) for p in os.environ.get(
-                "BENCH_CUBE_PROBES", "48,32").split(",")
-        ]
-        c_pt = min(BUDGET, max(128, 4 * N // (1 << CK)))
-        c_dtype = jnp.int8 if (N + 4096) * D * 2 > 6e9 else jnp.bfloat16
+        # Round-5 frontier (probe_r5_cube.py): query-DIRECTED probing
+        # lifts a single cube 0.9482 -> 0.9781 at the same budget but
+        # plateaus there (confident-bit flips are unreachable); the
+        # MULTICUBE union of C independent cubes makes misses independent
+        # — C=2 x 8 probes x window 488 measures 144.7k q/s at 0.9928,
+        # 3.4x the round-4 headline at +0.03 recall.  The single-cube
+        # directed point is recorded alongside for the reference-shape
+        # story (one cube IS the reference's structure).
+        C_CUBES = int(os.environ.get("BENCH_CUBE_C", 2))
+        C_PROBES = int(os.environ.get("BENCH_CUBE_MPROBES", 8))
+        c_pt = int(os.environ.get("BENCH_CUBE_PT", 488))
+        c_dtype = jnp.int8
+        cube_points = []
+        t0 = time.perf_counter()
+        mcube = build_multicube(
+            jax.random.PRNGKey(7), corpus, METRIC, C_CUBES, CK, EUC_W,
+            corpus_dtype=c_dtype,
+        )
+        hard_sync(jax.tree_util.tree_leaves(mcube))
+        mc_build_s = time.perf_counter() - t0
+        run = lambda: multicube_retrieve_topk(
+            mcube, queries, top_k=TOPK, probes=C_PROBES, per_probe=c_pt)
+        hard_sync(run())
+        mc_s = timed(run, reps=5)
+        _cs, cids = run()
+        mc_recall = float(recall_at_k(cids, true_idx))
+        log(f"multicube C={C_CUBES} k={CK} probes={C_PROBES}/cube "
+            f"window={c_pt}: {mc_s*1e3:.1f} ms -> {Q/mc_s:,.0f} q/s/chip "
+            f"(recall {mc_recall:.4f}, build+pack {mc_build_s:.1f}s)")
+        cube_points.append({
+            "form": "multicube", "cubes": C_CUBES, "k": CK,
+            "probes": C_PROBES, "per_probe": c_pt,
+            "qps": round(Q / mc_s, 1), "recall": round(mc_recall, 4),
+            "dtype": jnp.dtype(c_dtype).name, "directed": True,
+        })
+        del mcube
+        # single-cube directed point (the reference's one-cube shape)
+        S_PROBES = int(os.environ.get("BENCH_CUBE_PROBES", 16))
         t0 = time.perf_counter()
         cube = build_hypercube(jax.random.PRNGKey(7), corpus, METRIC, CK, EUC_W)
         cube = pack_cube(cube, corpus, dtype=c_dtype)
         hard_sync(jax.tree_util.tree_leaves(cube))
         cube_build_s = time.perf_counter() - t0
-        cube_points = []
-        for PROBES in PROBE_LIST:
-            run = lambda: cube_retrieve_topk(
-                cube, queries, corpus, top_k=TOPK, probes=PROBES,
-                per_probe=c_pt, approx_stage1=True,
-            )
-            hard_sync(run())
-            cube_s = timed(run, reps=5)
-            _cs, cids = run()
-            cube_recall = float(recall_at_k(cids, true_idx))
-            log(f"hypercube k={CK} probes={PROBES} window={c_pt}: "
-                f"{cube_s*1e3:.1f} ms -> {Q/cube_s:,.0f} q/s/chip "
-                f"(recall {cube_recall:.4f}, build+pack {cube_build_s:.1f}s)")
-            cube_points.append({
-                "k": CK, "probes": PROBES, "per_probe": c_pt,
-                "qps": round(Q / cube_s, 1), "recall": round(cube_recall, 4),
-                "dtype": jnp.dtype(c_dtype).name,
-            })
+        run = lambda: cube_retrieve_topk(
+            cube, queries, corpus, top_k=TOPK, probes=S_PROBES,
+            per_probe=976, approx_stage1=True,
+        )
+        hard_sync(run())
+        cube_s = timed(run, reps=5)
+        _cs, cids = run()
+        cube_recall = float(recall_at_k(cids, true_idx))
+        log(f"hypercube k={CK} probes={S_PROBES} window=976 (directed): "
+            f"{cube_s*1e3:.1f} ms -> {Q/cube_s:,.0f} q/s/chip "
+            f"(recall {cube_recall:.4f}, build+pack {cube_build_s:.1f}s)")
+        cube_points.append({
+            "form": "single", "cubes": 1, "k": CK, "probes": S_PROBES,
+            "per_probe": 976, "qps": round(Q / cube_s, 1),
+            "recall": round(cube_recall, 4),
+            "dtype": jnp.dtype(c_dtype).name, "directed": True,
+        })
+        del cube
+        # euclidean cube datapoint (VERDICT r4 missing #3): augmented
+        # slabs ride the shared-slab kernel (pack_cube augment=True)
+        if os.environ.get("BENCH_CUBE_EUC", "1") == "1":
+            EC_W = float(os.environ.get("BENCH_CUBE_EUC_W", 8.0))
+            EC_PROBES = int(os.environ.get("BENCH_CUBE_EUC_PROBES", 32))
+            t0 = time.perf_counter()
+            ecube = build_hypercube(
+                jax.random.PRNGKey(7), corpus, "euclidean", CK, EC_W)
+            ecube = pack_cube(ecube, corpus, dtype=jnp.int8, augment=True)
+            hard_sync(jax.tree_util.tree_leaves(ecube))
+            ec_build_s = time.perf_counter() - t0
+            try:
+                run = lambda: cube_retrieve_topk(
+                    ecube, queries, corpus, top_k=TOPK, probes=EC_PROBES,
+                    per_probe=976,
+                )
+                hard_sync(run())
+                ec_s = timed(run, reps=5)
+                _cs, cids = run()
+                ec_recall = float(recall_at_k(cids, true_idx))
+                log(f"euclidean cube k={CK} w={EC_W} probes={EC_PROBES} "
+                    f"(augmented kernel): {ec_s*1e3:.1f} ms -> "
+                    f"{Q/ec_s:,.0f} q/s/chip (recall {ec_recall:.4f}, "
+                    f"build+pack {ec_build_s:.1f}s)")
+                cube_points.append({
+                    "form": "euclidean_aug", "cubes": 1, "k": CK,
+                    "w": EC_W, "probes": EC_PROBES, "per_probe": 976,
+                    "qps": round(Q / ec_s, 1),
+                    "recall": round(ec_recall, 4),
+                    "dtype": "int8", "directed": True,
+                })
+            except Exception as e:
+                log(f"euclidean cube leg unavailable: {type(e).__name__}")
+            del ecube
         ok_pts = [p for p in cube_points if p["recall"] >= 0.95]
         cube_stats = dict(
             max(ok_pts, key=lambda p: p["qps"]) if ok_pts
             else max(cube_points, key=lambda p: p["recall"])
         )
         cube_stats["points"] = cube_points
-        del cube
 
     # ---- recall vs planted ground truth (+ exact-NN spot check) ----
     # HOST_ORACLE (auto at >4M rows): the oracle corpus streams from host

@@ -40,7 +40,7 @@ from crypto_rec_tpu.ops.hamming import hamming_probe_order
     data_fields=(
         "family", "mix_mul", "mix_add", "vertices", "sorted_rows",
         "bucket_starts", "packed", "packed_rows", "packed_sqnorm",
-        "packed_scale", "packed_gscale",
+        "packed_scale", "packed_gscale", "packed_aug_scale",
     ),
     meta_fields=("metric", "k", "n_rows"),
 )
@@ -69,6 +69,9 @@ class Hypercube:
     # global-scale int8 only: the one dequant scalar (raw dots x it are
     # approximate sims; see index.LshIndex.packed_gscale)
     packed_gscale: Optional[jax.Array] = None
+    # augmented-euclidean layout (pack_cube augment=True): dequant scale
+    # for the -|x|^2/2 norm column (index.LshIndex.packed_aug_scale)
+    packed_aug_scale: Optional[jax.Array] = None
 
 
 def _f_bits(h: jax.Array, mul: jax.Array, add: jax.Array) -> jax.Array:
@@ -209,25 +212,39 @@ def cube_candidate_mask(cube: Hypercube, queries: jax.Array, probes: int) -> jax
     )
 
 
-@functools.partial(jax.jit, static_argnames=("dtype", "pad", "scale_mode"))
+@functools.partial(
+    jax.jit, static_argnames=("dtype", "pad", "scale_mode", "augment")
+)
 def pack_cube(
     cube: Hypercube,
     corpus: jax.Array,
     dtype=jnp.bfloat16,
     pad: int = 4096,
     scale_mode: str = "auto",
+    augment: bool = False,
 ) -> Hypercube:
     """Attach the packed-slab layout: the corpus rewritten in vertex-CSR
     order (index.pack_index applied to the cube's single table).  Cosine
     rows are pre-normalized.  scale_mode as in pack_index: int8 cosine
     defaults to one GLOBAL scalar scale (order-preserving raw dots, no
-    packed_scale plane); euclidean keeps per-row scales."""
+    packed_scale plane); euclidean keeps per-row scales.
+
+    augment=True (euclidean only): the AUGMENTED rank layout of
+    pack_index — raw rows plus a -|x|^2/2 column, one global scale — so
+    euclidean cube probing rides the shared-slab kernel (the plain dot
+    against [q, aug_scale, 0...] is the monotone euclidean rank)."""
     n = cube.n_rows
+    d = corpus.shape[1]
     rows = cube.sorted_rows[0]
     quantized = jnp.issubdtype(jnp.dtype(dtype), jnp.integer)
+    if augment and cube.metric != "euclidean":
+        raise ValueError("augment=True is the euclidean rank layout")
     if scale_mode == "auto":
-        scale_mode = "global" if cube.metric == "cosine" else "row"
-    if scale_mode not in ("global", "row"):
+        if augment:
+            scale_mode = "global" if quantized else "none"
+        else:
+            scale_mode = "global" if cube.metric == "cosine" else "row"
+    if scale_mode not in ("global", "row", "none"):
         raise ValueError(f"unknown scale_mode {scale_mode!r}")
 
     g = corpus[rows].astype(jnp.float32)
@@ -236,8 +253,25 @@ def pack_cube(
         sq = None
     else:
         sq = jnp.sum(g * g, axis=1)
-    scale = g_scale = None
-    if quantized and scale_mode == "global":
+    scale = g_scale = aug_scale = None
+    if augment:
+        d_aug = -(-(d + 1) // 128) * 128
+        norm_half_max = jnp.max(sq) / 2.0
+        if quantized:
+            g_scale = jnp.maximum(jnp.max(jnp.abs(g)), 1e-30) / 127.0
+            aug_scale = jnp.maximum(norm_half_max, 1e-30) / (127.0 * g_scale)
+            body = jnp.clip(jnp.round(g / g_scale), -127, 127)
+            norm_col = jnp.clip(
+                jnp.round((-sq / 2.0) / (g_scale * aug_scale)), -127, 0)
+        else:
+            aug_scale = jnp.float32(1.0)
+            body = g
+            norm_col = -sq / 2.0
+        g = jnp.concatenate(
+            [body, norm_col[:, None],
+             jnp.zeros((n, d_aug - d - 1), jnp.float32)], axis=1)
+        sq = None
+    elif quantized and scale_mode == "global":
         g_scale = jnp.maximum(jnp.max(jnp.abs(g)), 1e-30) / 127.0
         g = jnp.clip(jnp.round(g / g_scale), -127, 127)
     elif quantized:
@@ -258,6 +292,8 @@ def pack_cube(
         kw["packed_sqnorm"] = jnp.pad(sq, (0, pad))[None]
     if g_scale is not None:
         kw["packed_gscale"] = jnp.asarray(g_scale, jnp.float32)
+    if augment:
+        kw["packed_aug_scale"] = jnp.asarray(aug_scale, jnp.float32)
     return dataclasses.replace(cube, **kw)
 
 
@@ -317,6 +353,24 @@ def cube_retrieve_topk(
             cube, queries, corpus, top_k, probes, per_probe,
             interpret=not resolve_use_pallas(None), directed=directed,
         )
+    if (
+        cube.metric == "euclidean"
+        and cube.packed_aug_scale is not None
+        and cube.packed.shape[-1] % 128 == 0
+        and cube.packed.shape[1] >= per_probe + 160
+        and probes % 8 == 0
+    ):
+        # augmented slabs: euclidean probing rides the shared-slab kernel
+        # (rank dot), the same pipeline the euclidean LSH tables use
+        return _cube_retrieve_kernel_euclid(
+            cube, queries, top_k, probes, per_probe,
+            interpret=not resolve_use_pallas(None), directed=directed,
+        )
+    if cube.packed_aug_scale is not None:
+        raise ValueError(
+            "augmented cube slabs are kernel-only (probes % 8 == 0 and "
+            "128-multiple padded width required)"
+        )
     masks = jnp.asarray(hamming_probe_order(cube.k, probes))  # [p]
     core_k = min(4 * top_k, probes * top_k) if quantized else top_k
 
@@ -347,6 +401,87 @@ def cube_retrieve_topk(
         one_block, queries_p.reshape(-1, q_block, queries.shape[1])
     )
     return vals.reshape(-1, vals.shape[-1])[:q], ids.reshape(-1, ids.shape[-1])[:q]
+
+
+def _cube_retrieve_kernel_euclid(
+    cube: Hypercube,
+    queries: jax.Array,   # [q, d] RAW euclidean queries
+    top_k: int,
+    probes: int,
+    per_probe: int,
+    group: int = 8,
+    interpret: bool = False,
+    directed: bool = True,
+):
+    """Euclidean hypercube probing on the shared-slab kernel over the
+    AUGMENTED layout (pack_cube augment=True): the plain dot of the
+    augmented query against a slab row is the monotone rank x.q - |x|^2/2,
+    so the probe windows stream through the identical maskless DMA
+    pipeline as the cosine cube; per-window stage-1 + id-dedup epilogue
+    (the multicube lesson), then the top_k ranks are dequantized and
+    mapped to -distance."""
+    from crypto_rec_tpu.ops.pallas.slabscore import (
+        _dedup_topk_pairs, slab_window_dots,
+    )
+
+    q, d = queries.shape
+    n_pad = cube.packed.shape[1]
+    d_aug = cube.packed.shape[2]
+    qv = queries.astype(jnp.float32)
+    if directed:
+        pv = directed_probe_vertices(cube, queries, probes)       # [q, T]
+    else:
+        masks = jnp.asarray(hamming_probe_order(cube.k, probes))
+        home = _vertex_ids(
+            cube.metric, cube.k, cube.family, cube.mix_mul, cube.mix_add,
+            queries,
+        )
+        pv = home[:, None] ^ masks[None, :]
+    starts = cube.bucket_starts[0]
+    start = starts[pv]
+    end = starts[pv + 1]
+    size = end - start
+    golden = jnp.int32(-1640531527)
+    t_idx = jnp.arange(probes, dtype=jnp.int32)
+    mix = (pv * golden) ^ (t_idx[None, :] * jnp.int32(40503))
+    s0 = start + jnp.remainder(
+        jnp.abs(mix), jnp.maximum(size - per_probe, 0) + 1
+    )
+    sizes = jnp.minimum(end - s0, per_probe)
+
+    q_aug = jnp.concatenate(
+        [
+            qv,
+            jnp.broadcast_to(
+                jnp.asarray(cube.packed_aug_scale, jnp.float32), (q, 1)),
+            jnp.zeros((q, d_aug - d - 1), jnp.float32),
+        ],
+        axis=1,
+    )
+    R = probes // group
+    dots, a0 = slab_window_dots(
+        cube.packed, None,
+        s0.reshape(q * R, group), sizes.reshape(q * R, group),
+        jnp.repeat(q_aug, R, axis=0),
+        per_table=per_probe, interpret=interpret, mask=False,
+        shared_slab=True,
+    )                                                 # [q*R, group, win]
+    win = dots.shape[2]
+    a_flat = a0.reshape(q, probes)
+    kk = min(top_k, win)
+    rows2 = dots.reshape(q * probes, win)
+    s1, lane = jax.lax.approx_max_k(rows2, kk, recall_target=0.9)
+    s1 = s1.reshape(q, probes * kk)
+    lane = lane.reshape(q, probes, kk)
+    gpos = (a_flat[:, :, None] + lane).reshape(q, probes * kk)
+    ids1 = cube.packed_rows[0][jnp.minimum(gpos, n_pad - 1)]
+    ids1 = jnp.where(s1 > -jnp.inf, ids1, cube.n_rows)
+    rank, ids = _dedup_topk_pairs(s1, ids1, cube.n_rows, top_k)
+    if cube.packed_gscale is not None:
+        rank = rank * cube.packed_gscale
+    qsq = jnp.sum(qv * qv, axis=1, keepdims=True)
+    score = -jnp.sqrt(jnp.maximum(qsq - 2.0 * rank, 0.0))
+    return jnp.where(ids >= 0, score, -jnp.inf), ids
 
 
 @functools.partial(

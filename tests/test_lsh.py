@@ -243,6 +243,47 @@ def test_cube_directed_probing_beats_hamming():
         assert (np.asarray(ids_dir)[:, 0] == target).all(), metric
 
 
+def test_cube_euclid_augmented_kernel():
+    """Euclidean cube on AUGMENTED slabs (round 5): the rank-dot kernel
+    path must find the planted twin with true -distance scores and recall
+    at least as much as the unaugmented XLA core path at the same probe
+    budget (its maskless windows are a coverage superset)."""
+    from crypto_rec_tpu.models.lsh.hypercube import (
+        build_hypercube, pack_cube, cube_retrieve_topk,
+    )
+    from crypto_rec_tpu.ops.oracle import exact_nearest, recall_at_k
+
+    rng = np.random.default_rng(53)
+    n, d, q, kk, probes, tk = 4096, 128, 32, 8, 8, 10
+    centers = rng.normal(size=(32, d)).astype(np.float32) * 2
+    base = (centers[rng.integers(0, 32, n)]
+            + 0.5 * rng.normal(size=(n, d))).astype(np.float32)
+    x = jnp.asarray(base)
+    target = rng.choice(n, size=q, replace=False)
+    qs = jnp.asarray(base[target] + 0.01 * rng.normal(size=(q, d)).astype(np.float32))
+
+    cube = build_hypercube(jax.random.PRNGKey(6), x, "euclidean", kk, 6.0)
+    aug = pack_cube(cube, x, dtype=jnp.float32, pad=1024, augment=True)
+    assert aug.packed_aug_scale is not None
+    vals, ids = cube_retrieve_topk(
+        aug, qs, x, top_k=tk, probes=probes, per_probe=256)
+    vals, ids = np.asarray(vals), np.asarray(ids)
+    assert (ids[:, 0] == target).all()
+    # scores are true negated distances for valid ids
+    xn, qn = np.asarray(x), np.asarray(qs)
+    for qi in range(q):
+        j = ids[qi, 0]
+        true_d = -np.linalg.norm(qn[qi] - xn[j])
+        assert abs(vals[qi, 0] - true_d) < 1e-2
+    _d, true_idx = exact_nearest(qs, x, "euclidean", tk)
+    r_aug = float(recall_at_k(jnp.asarray(ids), true_idx))
+    plain = pack_cube(cube, x, dtype=jnp.float32, pad=1024)
+    _v2, i2 = cube_retrieve_topk(
+        plain, qs, x, top_k=tk, probes=probes, per_probe=256)
+    r_plain = float(recall_at_k(i2, true_idx))
+    assert r_aug >= r_plain - 0.02, (r_aug, r_plain)
+
+
 def test_multicube_union_beats_single_cube():
     """MultiCube (round 5): the C-cube union in one shared-slab kernel
     launch must recall at least as much as any single member cube at the
