@@ -43,6 +43,16 @@ trivial jitted op, probe_r4_batch.py):
   * throughput is batch-sensitive purely through the 25 ms dispatch:
     q=8192 -> 121k q/s, q=32768 -> 174k q/s (int8, recall 0.9998) at an
     identical ~200k q/s dispatch-free rate (probe_r4_batch.py);
+  * bandwidth decomposition (probe_r5_kernel.py, v5e 2M point, q=32768,
+    int8, win=640): the RAW kernel streams 21.5 GB of slab reads in
+    75 ms = 285 GB/s, ~35% of v5e HBM — the kernel was never the round-4
+    "20% of HBM" term; the gap to wall time is the selection epilogue
+    (stage-1 + dedup ~47 ms) and the 25 ms testbed dispatch.  Negative
+    result: deeper DMA pipelining is a no-op (nbuf 4/8/12 within 1.2%,
+    q_tile 16 vs 32 within 1%) — the pipeline is already bandwidth-bound,
+    so further kernel work should target the epilogue, not the DMAs.
+    kernel+stage1 wall 122 ms -> 268k q/s dispatch-inclusive, ~338k
+    dispatch-free at the measured 25 ms;
   * window masking is OFF on the production path ("maskless"): the
     out-of-window lanes of the aligned overfetch are real neighboring
     CSR rows — scoring them is free multiprobe (recall 0.9993 -> 0.9997
