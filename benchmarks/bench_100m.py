@@ -18,8 +18,16 @@ recorded 2M/10M run.
 Writes one JSON line (and BENCH_100M.json at the repo root when
 BENCH_100M_OUT is set).
 
-Env knobs: BENCH_N (1e8), BENCH_Q (32768), BENCH_LSH_K (13), BENCH_LSH_L
-(4), BENCH_WINDOW (1024), BENCH_CHUNKS (16).
+Env knobs: BENCH_N (1e8), BENCH_Q (16384), BENCH_LSH_K (16), BENCH_LSH_L
+(4), BENCH_WINDOW (256), BENCH_CHUNKS (12), BENCH_REPS (1).
+
+Operating point: at 100M rows the per-query slab traffic is
+chunks * L * win * d bytes (every chunk is probed), so the 2M-style
+K=13/window-1024 point reads 9.4 MB/query — k=16 shrinks the average
+per-chunk bucket to ~127 rows and window 256 covers 2x that, cutting
+traffic 4x at equal planted-protocol recall (the per-table twin-hit
+probability is (1 - theta/pi)^k ~ 0.86, unioned over L=4 tables per
+chunk -> ~0.9996 before the overfetch bonus).
 """
 
 from __future__ import annotations
@@ -52,11 +60,11 @@ def log(*a):
 def main():
     N = int(float(os.environ.get("BENCH_N", 1e8)))
     D = int(os.environ.get("BENCH_D", 128))
-    Q = int(os.environ.get("BENCH_Q", 32768))
-    K = int(os.environ.get("BENCH_LSH_K", 13))
+    Q = int(os.environ.get("BENCH_Q", 16384))
+    K = int(os.environ.get("BENCH_LSH_K", 16))
     L = int(os.environ.get("BENCH_LSH_L", 4))
-    PT = int(os.environ.get("BENCH_WINDOW", 1024))
-    CHUNKS = int(os.environ.get("BENCH_CHUNKS", 16))
+    PT = int(os.environ.get("BENCH_WINDOW", 256))
+    CHUNKS = int(os.environ.get("BENCH_CHUNKS", 12))
     TOPK = 10
     N_CENTERS = max(1024, N // 128)
 
@@ -119,7 +127,7 @@ def main():
         sidx, qdev, top_k=TOPK, per_table=PT, stats=stats)
     warm_s = time.perf_counter() - t0
     log(f"pass 1 (incl. compile): {warm_s:.1f}s  {stats}")
-    reps = int(os.environ.get("BENCH_REPS", 2))
+    reps = int(os.environ.get("BENCH_REPS", 1))
     runs = []
     for _ in range(reps):
         stats = {}

@@ -201,15 +201,21 @@ def streamed_retrieve_topk(
     best_i = jnp.full((q, top_k), -1, jnp.int32)
     t0 = time.perf_counter()
     dev = upload(0)
-    cur = None
     for ci in range(index.n_chunks):
         nxt = upload(ci + 1) if ci + 1 < index.n_chunks else None
         v, ids = chunk_retrieve(*dev, queries, q_buckets)
         best_v, best_i = merge(
             best_v, best_i, v, ids, jnp.int32(ci * index.chunk_rows)
         )
-        cur, dev = dev, nxt
-    best_v.block_until_ready()
+        # Bound the transfer pipeline: device_put is async, so without a
+        # per-chunk sync this loop dispatches EVERY chunk's upload before
+        # the first kernel finishes — host staging buffers for the whole
+        # index at once (measured: 130 GB RSS -> OOM-kill at 100M rows).
+        # Blocking on the merge keeps at most two chunks (current +
+        # prefetched) in flight; chunk ci+1's copy still rides under
+        # chunk ci's compute because its device_put was dispatched above.
+        best_v.block_until_ready()
+        dev = nxt
     wall = time.perf_counter() - t0
     if stats is not None:
         bytes_streamed = index.host_bytes()

@@ -52,7 +52,17 @@ trivial jitted op, probe_r4_batch.py):
     q_tile 16 vs 32 within 1%) — the pipeline is already bandwidth-bound,
     so further kernel work should target the epilogue, not the DMAs.
     kernel+stage1 wall 122 ms -> 268k q/s dispatch-inclusive, ~338k
-    dispatch-free at the measured 25 ms;
+    dispatch-free at the measured 25 ms.  Negative result #2
+    (probe_r5_int4.py, same point): NIBBLE-PACKED int4 slabs (two CSR
+    rows per byte, half the DMA bytes, VPU unpack in-kernel) measured
+    84.4 ms raw vs int8's 84.8 — DMA bytes are NOT the binding
+    constraint at this window size (the VPU multiply+reduce work is
+    unchanged and absorbs the saved bandwidth), and int4's global-scale
+    quantization noise (~0.016 on a unit dot) is comparable to the
+    2M clustered corpus's planted-vs-sibling margin, collapsing
+    recall@10 0.9998 -> 0.30.  int8 global-scale is the speed-of-light
+    dtype for this kernel form; don't revisit narrower slabs without an
+    exact-rerank design that avoids the [q, survivors, d] gather;
   * window masking is OFF on the production path ("maskless"): the
     out-of-window lanes of the aligned overfetch are real neighboring
     CSR rows — scoring them is free multiprobe (recall 0.9993 -> 0.9997

@@ -793,6 +793,14 @@ def sharded_recommend_scored(
             "scored CF rides the slab kernel: cosine scale-free slabs or "
             "augmented euclidean shards only"
         )
+    if not pallas_interpret and index.packed.shape[-1] % 128 != 0:
+        # same Mosaic lane-tiling constraint every kernel call site gates
+        # on; fail with guidance instead of an INTERNAL Mosaic error
+        raise ValueError(
+            f"slab kernel needs a 128-multiple feature dim (got "
+            f"{index.packed.shape[-1]}); pad the rating columns, use "
+            f"sharded_recommend_csr, or pass pallas_interpret=True"
+        )
     fam = index.family
     n_local = index.n_local
     quantized = jnp.issubdtype(index.packed.dtype, jnp.integer)
