@@ -86,10 +86,12 @@ def main() -> None:
     # dispatch+sync cost per call (probe_r4_batch.py measures it with a
     # trivial jitted op), so the fused q/s number is batch-size-sensitive.
     # The driver JSON records the whole curve; the headline is the largest
-    # batch (dispatch amortized 4x at 32k), with the batch size recorded.
+    # batch (dispatch amortized 8x at 64k: 257.4k q/s at 32768 ->
+    # 292.6k at 65536, recall 0.9999, measured 2026-08-22), with the
+    # batch size recorded.
     QBATCH = [
         int(b) for b in os.environ.get(
-            "BENCH_QBATCH", f"{Q},32768" if N <= 4_000_000 else f"{Q}"
+            "BENCH_QBATCH", f"{Q},32768,65536" if N <= 4_000_000 else f"{Q}"
         ).split(",")
     ]
     # planted rows are Q*10 of the corpus; keep them a minority
