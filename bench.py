@@ -518,13 +518,14 @@ def main() -> None:
         E_PT = int(os.environ.get("BENCH_EUC_PT", 768))
         E_W = float(os.environ.get("BENCH_EUC_W", 20.0))
         # augmented layout (pack_index augment=True): euclidean rides the
-        # slab kernel; columns double to ceil((D+1)/128)*128, so the dtype
-        # gate uses the augmented width
+        # slab kernel.  int8 by default: the kernel is DMA-dominated at
+        # this window size and int8 halves the slab bytes of bf16 at
+        # equal planted recall (2026-08-22 head-to-head at the 2M point:
+        # int8 108.6k vs bf16 79.7k q/s, recall 0.9914 vs 0.9919)
         E_AUG = os.environ.get("BENCH_EUC_AUG", "1") == "1"
-        D_AUG = -(-(D + 1) // 128) * 128 if E_AUG else D
-        e_dtype = (
-            jnp.bfloat16 if E_L * (N + 4096) * D_AUG * 2 <= 6e9 else jnp.int8
-        )
+        e_dtype = {"int8": jnp.int8, "bfloat16": jnp.bfloat16}[
+            os.environ.get("BENCH_EUC_DTYPE", "int8")
+        ]
         def e_build_once():
             eidx = build_index(
                 jax.random.PRNGKey(21), corpus, "euclidean", E_K, E_L,
@@ -559,21 +560,26 @@ def main() -> None:
         e_pack = time.perf_counter() - t0
         del eidx2
         log(f"euclidean pack cold {e_pack_cold:.2f}s / warm {e_pack:.2f}s")
+        # 32k batch: the measured 25 ms dispatch is ~25% of an 8k-batch
+        # euclidean pass (2026-08-22: 8k 79.7k -> 32k ~100k q/s class)
+        EQ = min(32768, QMAX)
+        e_qs, e_true = queries_all[:EQ], true_idx_all[:EQ]
         e_run = lambda: retrieve_topk(
-            eidx, queries, corpus, top_k=TOPK, per_table=E_PT,
+            eidx, e_qs, corpus, top_k=TOPK, per_table=E_PT,
             approx_stage1=True,
         )
         hard_sync(e_run())
         e_s = timed(e_run, reps=5)
         _es, e_ids = e_run()
-        e_recall = float(recall_at_k(e_ids, true_idx))
+        e_recall = float(recall_at_k(e_ids, e_true))
         log(f"euclidean k={E_K} L={E_L} w={E_W} window={E_PT} "
-            f"[{jnp.dtype(e_dtype).name}]: {e_s*1e3:.1f} ms -> "
-            f"{Q/e_s:,.0f} q/s/chip (recall {e_recall:.4f}, "
+            f"[{jnp.dtype(e_dtype).name}] q={EQ}: {e_s*1e3:.1f} ms -> "
+            f"{EQ/e_s:,.0f} q/s/chip (recall {e_recall:.4f}, "
             f"build {e_build:.2f}s, pack {e_pack:.2f}s)")
         euc_stats = {
             "k": E_K, "tables": E_L, "w": E_W, "per_table": E_PT,
-            "qps": round(Q / e_s, 1), "recall": round(e_recall, 4),
+            "qps": round(EQ / e_s, 1), "recall": round(e_recall, 4),
+            "batch": EQ,
             "build_s": round(e_build, 3), "pack_s": round(e_pack, 3),
             "build_cold_s": round(e_build_cold, 3),
             "pack_cold_s": round(e_pack_cold, 3),
@@ -587,15 +593,15 @@ def main() -> None:
 
             try:
                 run_esc = lambda: candidate_ids_scored(
-                    eidx, queries, budget=256, per_table=E_PT)
+                    eidx, e_qs, budget=256, per_table=E_PT)
                 hard_sync(run_esc())
                 esc_s = timed(run_esc, reps=5)
-                esc_recall = float(recall_at_k(run_esc(), true_idx))
+                esc_recall = float(recall_at_k(run_esc(), e_true))
                 log(f"euclidean scored sets (budget=256): "
-                    f"{esc_s*1e3:.1f} ms -> {Q/esc_s:,.0f} sets/s "
+                    f"{esc_s*1e3:.1f} ms -> {EQ/esc_s:,.0f} sets/s "
                     f"(set-recall {esc_recall:.4f})")
                 euc_stats["scored_sets"] = {
-                    "qps": round(Q / esc_s, 1),
+                    "qps": round(EQ / esc_s, 1),
                     "recall": round(esc_recall, 4),
                     "budget": 256,
                 }
@@ -624,8 +630,14 @@ def main() -> None:
         # directed point is recorded alongside for the reference-shape
         # story (one cube IS the reference's structure).
         C_CUBES = int(os.environ.get("BENCH_CUBE_C", 2))
-        C_PROBES = int(os.environ.get("BENCH_CUBE_MPROBES", 8))
+        # 12 directed probes/cube: the probe-run point (8) measured
+        # 0.9857 on the 64k-planted corpus mix — the deeper schedule
+        # buys the union back over the 0.99 class; 32k batch amortizes
+        # the 25 ms dispatch like the other kernel stages
+        C_PROBES = int(os.environ.get("BENCH_CUBE_MPROBES", 12))
         c_pt = int(os.environ.get("BENCH_CUBE_PT", 488))
+        CQ = min(32768, QMAX)
+        c_qs, c_true = queries_all[:CQ], true_idx_all[:CQ]
         c_dtype = jnp.int8
         cube_points = []
         t0 = time.perf_counter()
@@ -636,18 +648,19 @@ def main() -> None:
         hard_sync(jax.tree_util.tree_leaves(mcube))
         mc_build_s = time.perf_counter() - t0
         run = lambda: multicube_retrieve_topk(
-            mcube, queries, top_k=TOPK, probes=C_PROBES, per_probe=c_pt)
+            mcube, c_qs, top_k=TOPK, probes=C_PROBES, per_probe=c_pt)
         hard_sync(run())
         mc_s = timed(run, reps=5)
         _cs, cids = run()
-        mc_recall = float(recall_at_k(cids, true_idx))
+        mc_recall = float(recall_at_k(cids, c_true))
         log(f"multicube C={C_CUBES} k={CK} probes={C_PROBES}/cube "
-            f"window={c_pt}: {mc_s*1e3:.1f} ms -> {Q/mc_s:,.0f} q/s/chip "
+            f"window={c_pt} q={CQ}: {mc_s*1e3:.1f} ms -> "
+            f"{CQ/mc_s:,.0f} q/s/chip "
             f"(recall {mc_recall:.4f}, build+pack {mc_build_s:.1f}s)")
         cube_points.append({
             "form": "multicube", "cubes": C_CUBES, "k": CK,
-            "probes": C_PROBES, "per_probe": c_pt,
-            "qps": round(Q / mc_s, 1), "recall": round(mc_recall, 4),
+            "probes": C_PROBES, "per_probe": c_pt, "batch": CQ,
+            "qps": round(CQ / mc_s, 1), "recall": round(mc_recall, 4),
             "dtype": jnp.dtype(c_dtype).name, "directed": True,
         })
         del mcube
@@ -659,19 +672,19 @@ def main() -> None:
         hard_sync(jax.tree_util.tree_leaves(cube))
         cube_build_s = time.perf_counter() - t0
         run = lambda: cube_retrieve_topk(
-            cube, queries, corpus, top_k=TOPK, probes=S_PROBES,
+            cube, c_qs, corpus, top_k=TOPK, probes=S_PROBES,
             per_probe=976, approx_stage1=True,
         )
         hard_sync(run())
         cube_s = timed(run, reps=5)
         _cs, cids = run()
-        cube_recall = float(recall_at_k(cids, true_idx))
-        log(f"hypercube k={CK} probes={S_PROBES} window=976 (directed): "
-            f"{cube_s*1e3:.1f} ms -> {Q/cube_s:,.0f} q/s/chip "
+        cube_recall = float(recall_at_k(cids, c_true))
+        log(f"hypercube k={CK} probes={S_PROBES} window=976 (directed) "
+            f"q={CQ}: {cube_s*1e3:.1f} ms -> {CQ/cube_s:,.0f} q/s/chip "
             f"(recall {cube_recall:.4f}, build+pack {cube_build_s:.1f}s)")
         cube_points.append({
             "form": "single", "cubes": 1, "k": CK, "probes": S_PROBES,
-            "per_probe": 976, "qps": round(Q / cube_s, 1),
+            "per_probe": 976, "batch": CQ, "qps": round(CQ / cube_s, 1),
             "recall": round(cube_recall, 4),
             "dtype": jnp.dtype(c_dtype).name, "directed": True,
         })
@@ -679,8 +692,16 @@ def main() -> None:
         # euclidean cube datapoint (VERDICT r4 missing #3): augmented
         # slabs ride the shared-slab kernel (pack_cube augment=True)
         if os.environ.get("BENCH_CUBE_EUC", "1") == "1":
+            # 2M sweep (2026-08-22): w=8 is the single-euclid-cube
+            # optimum — w=4 -> 0.47/0.56 recall (bits too noisy), w=12
+            # -> 0.70/0.72, w=20 -> 0.59 (wide cells overcrowd vertices
+            # and the per-probe window truncates); probes 64 buys
+            # 0.7592 -> 0.8080.  The single cube is the reference's
+            # shape; its ceiling here is vertex truncation, the same
+            # miss-independence argument that motivated the cosine
+            # MultiCube.
             EC_W = float(os.environ.get("BENCH_CUBE_EUC_W", 8.0))
-            EC_PROBES = int(os.environ.get("BENCH_CUBE_EUC_PROBES", 32))
+            EC_PROBES = int(os.environ.get("BENCH_CUBE_EUC_PROBES", 64))
             t0 = time.perf_counter()
             ecube = build_hypercube(
                 jax.random.PRNGKey(7), corpus, "euclidean", CK, EC_W)
@@ -689,30 +710,35 @@ def main() -> None:
             ec_build_s = time.perf_counter() - t0
             try:
                 run = lambda: cube_retrieve_topk(
-                    ecube, queries, corpus, top_k=TOPK, probes=EC_PROBES,
+                    ecube, c_qs, corpus, top_k=TOPK, probes=EC_PROBES,
                     per_probe=976,
                 )
                 hard_sync(run())
                 ec_s = timed(run, reps=5)
                 _cs, cids = run()
-                ec_recall = float(recall_at_k(cids, true_idx))
+                ec_recall = float(recall_at_k(cids, c_true))
                 log(f"euclidean cube k={CK} w={EC_W} probes={EC_PROBES} "
-                    f"(augmented kernel): {ec_s*1e3:.1f} ms -> "
-                    f"{Q/ec_s:,.0f} q/s/chip (recall {ec_recall:.4f}, "
+                    f"(augmented kernel) q={CQ}: {ec_s*1e3:.1f} ms -> "
+                    f"{CQ/ec_s:,.0f} q/s/chip (recall {ec_recall:.4f}, "
                     f"build+pack {ec_build_s:.1f}s)")
                 cube_points.append({
                     "form": "euclidean_aug", "cubes": 1, "k": CK,
                     "w": EC_W, "probes": EC_PROBES, "per_probe": 976,
-                    "qps": round(Q / ec_s, 1),
+                    "batch": CQ, "qps": round(CQ / ec_s, 1),
                     "recall": round(ec_recall, 4),
                     "dtype": "int8", "directed": True,
                 })
             except Exception as e:
                 log(f"euclidean cube leg unavailable: {type(e).__name__}")
             del ecube
+        # headline preference: fastest >=0.99 point (the multicube
+        # frontier), else fastest >=0.95, else max recall — all points
+        # ride along in `points`
+        hi_pts = [p for p in cube_points if p["recall"] >= 0.99]
         ok_pts = [p for p in cube_points if p["recall"] >= 0.95]
         cube_stats = dict(
-            max(ok_pts, key=lambda p: p["qps"]) if ok_pts
+            max(hi_pts, key=lambda p: p["qps"]) if hi_pts
+            else max(ok_pts, key=lambda p: p["qps"]) if ok_pts
             else max(cube_points, key=lambda p: p["recall"])
         )
         cube_stats["points"] = cube_points
