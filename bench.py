@@ -731,6 +731,42 @@ def main() -> None:
             except Exception as e:
                 log(f"euclidean cube leg unavailable: {type(e).__name__}")
             del ecube
+            # euclidean MULTICUBE: the same miss-independence fix as the
+            # cosine multicube, on the augmented rank layout — C cubes'
+            # segments in one shared-slab launch (round-5 final)
+            EC_C = int(os.environ.get("BENCH_CUBE_EUC_C", 2))
+            EC_MPROBES = int(
+                os.environ.get("BENCH_CUBE_EUC_MPROBES", EC_PROBES // 2))
+            t0 = time.perf_counter()
+            emc = build_multicube(
+                jax.random.PRNGKey(7), corpus, "euclidean", EC_C, CK, EC_W,
+                corpus_dtype=jnp.int8,
+            )
+            hard_sync(jax.tree_util.tree_leaves(emc))
+            emc_build_s = time.perf_counter() - t0
+            try:
+                run = lambda: multicube_retrieve_topk(
+                    emc, c_qs, top_k=TOPK, probes=EC_MPROBES,
+                    per_probe=976)
+                hard_sync(run())
+                emc_s = timed(run, reps=5)
+                _cs, cids = run()
+                emc_recall = float(recall_at_k(cids, c_true))
+                log(f"euclidean multicube C={EC_C} k={CK} w={EC_W} "
+                    f"probes={EC_MPROBES}/cube q={CQ}: {emc_s*1e3:.1f} ms "
+                    f"-> {CQ/emc_s:,.0f} q/s/chip (recall {emc_recall:.4f}, "
+                    f"build+pack {emc_build_s:.1f}s)")
+                cube_points.append({
+                    "form": "euclidean_multicube", "cubes": EC_C, "k": CK,
+                    "w": EC_W, "probes": EC_MPROBES, "per_probe": 976,
+                    "batch": CQ, "qps": round(CQ / emc_s, 1),
+                    "recall": round(emc_recall, 4),
+                    "dtype": "int8", "directed": True,
+                })
+            except Exception as e:
+                log(f"euclidean multicube leg unavailable: "
+                    f"{type(e).__name__}")
+            del emc
         # headline preference: fastest >=0.99 point (the multicube
         # frontier), else fastest >=0.95, else max recall — all points
         # ride along in `points`

@@ -487,7 +487,7 @@ def _cube_retrieve_kernel_euclid(
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=("cubes", "packed", "packed_rows", "bucket_starts",
-                 "packed_gscale"),
+                 "packed_gscale", "packed_aug_scale"),
     meta_fields=("metric", "k", "n_rows", "n_cubes", "n_pad"),
 )
 @dataclasses.dataclass
@@ -503,7 +503,12 @@ class MultiCube:
     misses independent: 1 - (1 - 0.978)^2 ~ 0.9995.  Probing runs the
     shared-slab kernel ONCE over all C x probes windows (each cube's
     windows offset into its own slab segment), so the union costs one
-    kernel launch, not C."""
+    kernel launch, not C.
+
+    Euclidean cubes use the AUGMENTED slab layout (pack_cube
+    augment=True): each segment carries raw rows plus the -|x|^2/2
+    column, so the same plain-dot kernel computes the monotone euclidean
+    rank — the scales are identical across segments (same row set)."""
 
     metric: str
     k: int
@@ -515,6 +520,7 @@ class MultiCube:
     packed_rows: jax.Array      # [1, C * n_pad]
     bucket_starts: jax.Array    # [C, 2^k + 1] (segment-LOCAL)
     packed_gscale: Optional[jax.Array]
+    packed_aug_scale: Optional[jax.Array] = None  # euclidean layout only
 
 
 def build_multicube(
@@ -529,16 +535,20 @@ def build_multicube(
 ) -> MultiCube:
     """C independent build_hypercube + pack_cube, slabs concatenated into
     the shared-slab layout.  All cubes pack the same normalized row set,
-    so the int8 global scale is identical across cubes (asserted)."""
+    so the int8 global scale is identical across cubes (asserted).
+    Euclidean cubes pack the augmented rank layout (pack_cube
+    augment=True) — one aug_scale, shared by every segment."""
+    augment = metric == "euclidean"
     cubes = []
     packed, rows = [], []
     starts = []
-    gscale = None
+    gscale = aug_scale = None
     for ci in range(n_cubes):
         cube = build_hypercube(
             jax.random.fold_in(key, ci), vectors, metric, k, euclidean_h_w
         )
-        pc = pack_cube(cube, vectors, dtype=corpus_dtype, pad=pad)
+        pc = pack_cube(cube, vectors, dtype=corpus_dtype, pad=pad,
+                       augment=augment)
         if pc.packed_scale is not None:
             raise ValueError("multicube covers scale-free slabs only")
         packed.append(pc.packed[0])
@@ -546,6 +556,8 @@ def build_multicube(
         starts.append(pc.bucket_starts[0])
         if pc.packed_gscale is not None:
             gscale = pc.packed_gscale  # identical row set => same scale
+        if pc.packed_aug_scale is not None:
+            aug_scale = pc.packed_aug_scale
         cubes.append(
             dataclasses.replace(
                 cube, packed=None, packed_rows=None, packed_sqnorm=None,
@@ -560,6 +572,7 @@ def build_multicube(
         packed_rows=jnp.concatenate(rows, axis=0)[None],
         bucket_starts=jnp.stack(starts),
         packed_gscale=gscale,
+        packed_aug_scale=aug_scale,
     )
 
 
@@ -579,23 +592,40 @@ def multicube_retrieve_topk(
     """Union retrieval over C cubes in ONE shared-slab kernel launch:
     each cube contributes its `probes` (directed) vertex windows, offset
     into its slab segment; the maskless DMA pipeline + approx stage-1 +
-    id-dedup epilogue are exactly the LSH production path.  Cosine only.
+    id-dedup epilogue are exactly the LSH production path.  Euclidean
+    multicubes ride the augmented rank layout (plain dot = monotone
+    x.q - |x|^2/2), scores mapped to -distance after the dedup.
 
-    -> (scores [q, top_k] descending cosine sims, row ids, -1 pad)."""
+    -> (scores [q, top_k] descending nearest-first, row ids, -1 pad)."""
     from crypto_rec_tpu.models.lsh.index import resolve_use_pallas
     from crypto_rec_tpu.ops.pallas.slabscore import (
         _dedup_topk_pairs, slab_window_dots,
     )
 
-    if mc.metric != "cosine":
-        raise ValueError("multicube_retrieve_topk is cosine-only")
     C, n_pad = mc.n_cubes, mc.n_pad
     q, d = queries.shape
     T = C * probes
     if T % group:
         raise ValueError(f"n_cubes*probes={T} must divide group={group}")
     qv = queries.astype(jnp.float32)
-    qv = qv / jnp.maximum(jnp.linalg.norm(qv, axis=1, keepdims=True), 1e-30)
+    if mc.metric == "cosine":
+        qv = qv / jnp.maximum(
+            jnp.linalg.norm(qv, axis=1, keepdims=True), 1e-30)
+        q_kernel = qv
+    else:
+        if mc.packed_aug_scale is None:
+            raise ValueError(
+                "euclidean multicube requires the augmented slab layout")
+        d_aug = mc.packed.shape[2]
+        q_kernel = jnp.concatenate(
+            [
+                qv,
+                jnp.broadcast_to(
+                    jnp.asarray(mc.packed_aug_scale, jnp.float32), (q, 1)),
+                jnp.zeros((q, d_aug - d - 1), jnp.float32),
+            ],
+            axis=1,
+        )
 
     pv_l, s0_l, sz_l = [], [], []
     for ci, cube in enumerate(mc.cubes):
@@ -628,7 +658,7 @@ def multicube_retrieve_topk(
     dots, a0 = slab_window_dots(
         mc.packed, None,
         s0.reshape(q * R, group), sizes.reshape(q * R, group),
-        jnp.repeat(qv, R, axis=0),
+        jnp.repeat(q_kernel, R, axis=0),
         per_table=per_probe, mask=False, shared_slab=True,
         interpret=not resolve_use_pallas(None),
     )                                         # [q*R, group, win]
@@ -649,6 +679,13 @@ def multicube_retrieve_topk(
     ids1 = mc.packed_rows[0][jnp.minimum(gpos, total - 1)]
     ids1 = jnp.where(s1 > -jnp.inf, ids1, mc.n_rows)
     s2, ids = _dedup_topk_pairs(s1, ids1, mc.n_rows, top_k)
+    if mc.metric == "euclidean":
+        # rank -> -distance (the _cube_retrieve_kernel_euclid epilogue)
+        if mc.packed_gscale is not None:
+            s2 = s2 * mc.packed_gscale
+        qsq = jnp.sum(qv * qv, axis=1, keepdims=True)
+        score = -jnp.sqrt(jnp.maximum(qsq - 2.0 * s2, 0.0))
+        return jnp.where(ids >= 0, score, -jnp.inf), ids
     if mc.packed_gscale is not None:
         s2 = jnp.where(ids >= 0, s2 * mc.packed_gscale, -jnp.inf)
     return s2, ids

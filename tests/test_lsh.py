@@ -328,6 +328,55 @@ def test_multicube_union_beats_single_cube():
     assert r_mc >= r_one - 1e-6, (r_mc, r_one)
 
 
+def test_multicube_euclidean_union():
+    """Euclidean MultiCube (round 5): C augmented-slab cubes unioned in
+    one shared-slab kernel launch — the rank-dot layout of
+    _cube_retrieve_kernel_euclid under the multicube segment scheme.
+    Must return valid deduplicated global ids, find the planted twin,
+    and recall at least as much as a single member cube."""
+    from crypto_rec_tpu.models.lsh.hypercube import (
+        build_hypercube, build_multicube, multicube_retrieve_topk,
+        pack_cube, cube_retrieve_topk,
+    )
+    from crypto_rec_tpu.ops.oracle import exact_nearest, recall_at_k
+
+    rng = np.random.default_rng(53)
+    n, d, q, kk, probes, tk, w = 4096, 128, 48, 8, 8, 10, 4.0
+    centers = rng.normal(size=(32, d)).astype(np.float32) * 2
+    base = (centers[rng.integers(0, 32, n)]
+            + 0.5 * rng.normal(size=(n, d))).astype(np.float32)
+    x = jnp.asarray(base)
+    target = rng.choice(n, size=q, replace=False)
+    qs = jnp.asarray(
+        base[target] + 0.01 * rng.normal(size=(q, d)).astype(np.float32))
+
+    mc = build_multicube(jax.random.PRNGKey(5), x, "euclidean", n_cubes=2,
+                         k=kk, euclidean_h_w=w, corpus_dtype=jnp.float32,
+                         pad=1024)
+    assert mc.packed_aug_scale is not None
+    assert mc.packed.shape[-1] == 256  # 128 rows + norm col, 128-padded
+    vals, ids = multicube_retrieve_topk(
+        mc, qs, top_k=tk, probes=probes, per_probe=256)
+    vals, ids = np.asarray(vals), np.asarray(ids)
+    assert ids.shape == (q, tk) and ids.max() < n
+    for row in ids:
+        real = row[row >= 0]
+        assert len(set(real.tolist())) == len(real)
+    assert (ids[:, 0] == target).all()
+    # scores are -euclidean distances (descending nearest-first)
+    assert (vals[:, 0] <= 0).all() and (vals[:, 0] >= vals[:, -1] - 1e-5).all()
+    _d, true_idx = exact_nearest(qs, x, "euclidean", tk)
+    r_mc = float(recall_at_k(jnp.asarray(ids), true_idx))
+
+    single = build_hypercube(jax.random.fold_in(jax.random.PRNGKey(5), 0),
+                             x, "euclidean", kk, w)
+    single = pack_cube(single, x, dtype=jnp.float32, pad=1024, augment=True)
+    _v1, i1 = cube_retrieve_topk(single, qs, x, top_k=tk, probes=probes,
+                                 per_probe=256, directed=True)
+    r_one = float(recall_at_k(i1, true_idx))
+    assert r_mc >= r_one - 1e-6, (r_mc, r_one)
+
+
 def test_cube_retrieve_topk_int8_exact_rerank():
     """int8 cube slabs: over-fetch + exact f32 rerank must return the same
     ids as the bf16 path on well-separated data."""
