@@ -733,18 +733,26 @@ def main() -> None:
             del ecube
             # euclidean MULTICUBE: the same miss-independence fix as the
             # cosine multicube, on the augmented rank layout — C cubes'
-            # segments in one shared-slab launch (round-5 final)
-            EC_C = int(os.environ.get("BENCH_CUBE_EUC_C", 2))
+            # segments in one shared-slab launch (round-5 final).
+            # probe_r5_emc.py sweep at 2M: C=2x32 lifts the single cube
+            # 0.8341 -> 0.9457 at EQUAL cost; C=3x16 0.9643 at 37.5k;
+            # C=3x24 0.9784 at 25.4k (the default — max measured recall,
+            # same cost class as the old single-cube point); C=2x16
+            # 0.9074 at 56.7k.  Deeper schedules (C*probes > 72 at
+            # window 976) OOM the 16 GB chip on the [q*T, win] stage-1
+            # temp — the frontier is memory-bound, not recall-bound.
+            EC_C = int(os.environ.get("BENCH_CUBE_EUC_C", 3))
             EC_MPROBES = int(
-                os.environ.get("BENCH_CUBE_EUC_MPROBES", EC_PROBES // 2))
-            t0 = time.perf_counter()
-            emc = build_multicube(
-                jax.random.PRNGKey(7), corpus, "euclidean", EC_C, CK, EC_W,
-                corpus_dtype=jnp.int8,
-            )
-            hard_sync(jax.tree_util.tree_leaves(emc))
-            emc_build_s = time.perf_counter() - t0
+                os.environ.get("BENCH_CUBE_EUC_MPROBES", 24))
+            emc = None
             try:
+                t0 = time.perf_counter()
+                emc = build_multicube(
+                    jax.random.PRNGKey(7), corpus, "euclidean", EC_C, CK,
+                    EC_W, corpus_dtype=jnp.int8,
+                )
+                hard_sync(jax.tree_util.tree_leaves(emc))
+                emc_build_s = time.perf_counter() - t0
                 run = lambda: multicube_retrieve_topk(
                     emc, c_qs, top_k=TOPK, probes=EC_MPROBES,
                     per_probe=976)
